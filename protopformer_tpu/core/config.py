@@ -1,0 +1,227 @@
+"""Typed configuration for ProtoPFormer-TPU.
+
+The reference uses a single flat argparse namespace with ~90 flags
+(ref: main.py:34-206) threaded everywhere and pickled into checkpoints.
+Here the same knobs are grouped into frozen dataclasses; field names mirror
+the reference flags so shell-script presets translate 1:1
+(ref: scripts/train_cub.sh:19-63).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+
+@dataclass(frozen=True)
+class BackboneConfig:
+    """ViT backbone hyperparameters.
+
+    Presets mirror the reference registrations:
+      deit_tiny_patch16_224  — patch 16, embed 192, depth 12, heads 3
+                               (ref: tools/deit_models_attn.py:287-289)
+      deit_small_patch16_224 — embed 384, heads 6 (ref: deit_models_attn.py:302-304)
+      cait_xxs24_224         — embed 192, depth 24, heads 4, init_scale 1e-5,
+                               2 class-attention blocks
+                               (ref: tools/cait_models_attn.py:202-220,373)
+    """
+
+    name: str = "deit_tiny_patch16_224"
+    arch: str = "deit"  # "deit" | "cait"
+    img_size: int = 224
+    patch_size: int = 16
+    in_chans: int = 3
+    embed_dim: int = 192
+    depth: int = 12
+    num_heads: int = 3
+    mlp_ratio: float = 4.0
+    qkv_bias: bool = True
+    drop_rate: float = 0.0  # ref: main.py:81 --drop
+    drop_path_rate: float = 0.1  # ref: main.py:83 --drop_path
+    layer_norm_eps: float = 1e-6
+    # CaiT-only knobs (ignored for deit):
+    depth_token_only: int = 2  # class-attention blocks (ref: cait_models_attn.py:202)
+    init_scale: float = 1e-5  # LayerScale init (ref: cait_models_attn.py:373)
+    mlp_ratio_token_only: float = 4.0
+
+    @property
+    def num_patches(self) -> int:
+        return (self.img_size // self.patch_size) ** 2
+
+    @property
+    def grid_size(self) -> int:
+        return self.img_size // self.patch_size
+
+
+BACKBONE_PRESETS: Dict[str, BackboneConfig] = {
+    "deit_tiny_patch16_224": BackboneConfig(
+        name="deit_tiny_patch16_224", arch="deit",
+        embed_dim=192, depth=12, num_heads=3,
+    ),
+    "deit_small_patch16_224": BackboneConfig(
+        name="deit_small_patch16_224", arch="deit",
+        embed_dim=384, depth=12, num_heads=6,
+    ),
+    "deit_base_patch16_224": BackboneConfig(
+        name="deit_base_patch16_224", arch="deit",
+        embed_dim=768, depth=12, num_heads=12,
+    ),
+    "cait_xxs24_224": BackboneConfig(
+        name="cait_xxs24_224", arch="cait",
+        embed_dim=192, depth=24, num_heads=4, init_scale=1e-5,
+    ),
+    "cait_s24_224": BackboneConfig(
+        name="cait_s24_224", arch="cait",
+        embed_dim=384, depth=24, num_heads=8, init_scale=1e-5,
+    ),
+    # Tiny-image variants used for smoke tests (ref: deit_models_attn.py:405-434)
+    "deit_tiny_patch2_32": BackboneConfig(
+        name="deit_tiny_patch2_32", arch="deit",
+        img_size=32, patch_size=2, embed_dim=192, depth=12, num_heads=3,
+    ),
+}
+
+
+def backbone_preset(name: str, **overrides: Any) -> BackboneConfig:
+    cfg = BACKBONE_PRESETS[name]
+    return dataclasses.replace(cfg, **overrides) if overrides else cfg
+
+
+@dataclass(frozen=True)
+class PPNetConfig:
+    """Prototype-network hyperparameters (ref: protopformer.py:14-139,455-487).
+
+    ``prototype_shape`` keeps the reference's 4-tuple form (P, C, 1, 1) for CLI
+    parity; internally prototypes are a (P, C) matrix.
+    """
+
+    prototype_shape: Tuple[int, int, int, int] = (2000, 192, 1, 1)
+    num_classes: int = 200
+    reserve_layers: Tuple[int, ...] = (11,)
+    reserve_token_nums: Tuple[int, ...] = (81,)
+    use_global: bool = True
+    use_ppc_loss: bool = True
+    ppc_cov_thresh: float = 1.0
+    ppc_mean_thresh: float = 2.0
+    global_coe: float = 0.5  # logits = coe*global + (1-coe)*local (ref: protopformer.py:300)
+    global_proto_per_class: int = 10
+    prototype_activation_function: str = "log"  # 'log' | 'linear'
+    add_on_layers_type: str = "regular"  # 'regular' | 'bottleneck' (ref: main.py:49)
+    epsilon: float = 1e-4  # log-similarity eps (ref: protopformer.py:41)
+    incorrect_class_connection: float = -0.5  # frozen head off-class weight (ref: protopformer.py:401)
+    ppc_start_epoch: int = 20  # PPC loss gated on epoch>=20 (ref: tools/engine_proto.py:63-64)
+    ppc_cov_coe: float = 0.1
+    ppc_mean_coe: float = 0.5
+
+    @property
+    def num_prototypes(self) -> int:
+        return self.prototype_shape[0]
+
+    @property
+    def proto_dim(self) -> int:
+        return self.prototype_shape[1]
+
+    @property
+    def num_prototypes_global(self) -> int:
+        return self.num_classes * self.global_proto_per_class
+
+    @property
+    def num_prototypes_per_class(self) -> int:
+        assert self.num_prototypes % self.num_classes == 0  # ref: protopformer.py:57
+        return self.num_prototypes // self.num_classes
+
+    @property
+    def reserve_layer_nums(self) -> Tuple[Tuple[int, int], ...]:
+        return tuple(zip(self.reserve_layers, self.reserve_token_nums))
+
+    @property
+    def final_reserve_num(self) -> int:
+        return self.reserve_token_nums[-1]
+
+
+@dataclass(frozen=True)
+class OptimConfig:
+    """Optimizer/schedule knobs (ref: main.py:92-130, tools/create_optimizer.py:27-100).
+
+    Three trainable parameter groups, each with its own LR; the frozen
+    class-identity heads are excluded from optimization
+    (ref: create_optimizer.py:31-39, protopformer.py:130-131).
+    """
+
+    opt: str = "adamw"
+    opt_eps: float = 1e-8
+    opt_betas: Tuple[float, float] = (0.9, 0.999)
+    momentum: float = 0.9
+    weight_decay: float = 0.05  # applied to the prototype group (see create_optimizer.py:78)
+    group_weight_decay: float = 1e-3  # features/add_on groups (ref: create_optimizer.py:31-32)
+    clip_grad: Optional[float] = None
+    features_lr: float = 1e-4
+    add_on_layers_lr: float = 3e-3
+    prototype_vectors_lr: float = 3e-3
+    sched: str = "cosine"
+    epochs: int = 200
+    warmup_epochs: int = 5
+    warmup_lr: float = 1e-4
+    min_lr: float = 1e-5
+    decay_epochs: float = 10
+    decay_rate: float = 0.1
+    cooldown_epochs: int = 10
+    model_ema: bool = True
+    model_ema_decay: float = 0.99996
+
+
+@dataclass(frozen=True)
+class DataConfig:
+    """Dataset/augmentation knobs (ref: main.py:132-181, tools/datasets.py)."""
+
+    data_set: str = "CUB2011U"
+    data_path: str = "./datasets/cub200_cropped/"
+    input_size: int = 224
+    batch_size: int = 256
+    color_jitter: float = 0.4
+    aa: str = "rand-m9-mstd0.5-inc1"
+    train_interpolation: str = "bicubic"
+    reprob: float = 0.25
+    remode: str = "pixel"
+    recount: int = 1
+    smoothing: float = 0.0
+    enable_smoothing: bool = False
+    mixup: float = 0.0
+    cutmix: float = 1.0
+    mixup_prob: float = 1.0
+    mixup_switch_prob: float = 0.5
+    mixup_mode: str = "batch"
+    enable_mixup: bool = False
+    num_workers: int = 10
+
+
+@dataclass(frozen=True)
+class TrainConfig:
+    """Run-level knobs (ref: main.py:175-206)."""
+
+    seed: int = 1028
+    output_dir: str = "output/"
+    resume: str = ""
+    start_epoch: int = 0
+    eval_only: bool = False
+    save_ep_freq: int = 400
+    dist_eval: bool = False
+    # dtype policy: params fp32; compute dtype for the backbone matmuls.
+    # "float32" gives bit-parity with the fp32 reference; "bfloat16" is the
+    # TPU speed mode (replaces the reference's AMP fp16, engine_proto.py:48).
+    compute_dtype: str = "bfloat16"
+    # parity-critical paths (rollout, policy softmax, prototype distances)
+    # are always fp32 regardless of compute_dtype.
+
+
+@dataclass(frozen=True)
+class ExperimentConfig:
+    backbone: BackboneConfig = field(default_factory=BackboneConfig)
+    ppnet: PPNetConfig = field(default_factory=PPNetConfig)
+    optim: OptimConfig = field(default_factory=OptimConfig)
+    data: DataConfig = field(default_factory=DataConfig)
+    train: TrainConfig = field(default_factory=TrainConfig)
+
+    def replace(self, **kw: Any) -> "ExperimentConfig":
+        return dataclasses.replace(self, **kw)

@@ -1,0 +1,384 @@
+"""Shared transformer layers (Flax).
+
+These replace the timm layers the reference builds on (PatchEmbed, Mlp,
+DropPath, Attention/Block — ref: tools/deit_models_attn.py:17-81). Design
+choices for TPU:
+
+  * images are NHWC (TPU-native), patch embedding is a strided conv that XLA
+    lowers onto the MXU;
+  * attention keeps (B, H, N, hd) layouts and returns its probability tensor
+    so the caller can fold it into the incremental rollout; QK^T and AV
+    matmuls run at the configured precision (bf16-in/fp32-acc in speed mode,
+    HIGHEST in parity mode);
+  * softmax is always computed in fp32 and cast back (matches both the
+    reference's fp32 ``softmax_with_policy`` and AMP's fp32 softmax);
+  * GELU is the exact (erf) variant — torch's default, NOT jax's tanh
+    approximation.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from protopformer_tpu.ops.masking import (
+    class_attn_softmax_with_policy,
+    softmax_with_policy,
+)
+
+Dtype = jnp.dtype
+
+
+def _matmul_precision(dtype) -> jax.lax.Precision:
+    """fp32 compute => HIGHEST (parity mode); bf16 => DEFAULT (MXU speed)."""
+    return (
+        jax.lax.Precision.HIGHEST
+        if dtype == jnp.float32
+        else jax.lax.Precision.DEFAULT
+    )
+
+
+class PatchEmbed(nn.Module):
+    """Image -> patch tokens via strided conv (timm PatchEmbed equivalent)."""
+
+    patch_size: int
+    embed_dim: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        """x: (B, H, W, C) NHWC -> (B, N, D)."""
+        p = self.patch_size
+        x = nn.Conv(
+            self.embed_dim,
+            kernel_size=(p, p),
+            strides=(p, p),
+            padding="VALID",
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+            name="proj",
+        )(x)
+        B, gh, gw, D = x.shape
+        return x.reshape(B, gh * gw, D)
+
+
+class Mlp(nn.Module):
+    """Transformer MLP with exact-erf GELU (timm Mlp equivalent)."""
+
+    hidden_dim: int
+    out_dim: int
+    drop_rate: float = 0.0
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, deterministic: bool = True) -> jax.Array:
+        x = nn.Dense(self.hidden_dim, dtype=self.dtype, param_dtype=jnp.float32,
+                     name="fc1")(x)
+        x = jax.nn.gelu(x, approximate=False)
+        x = nn.Dropout(self.drop_rate)(x, deterministic=deterministic)
+        x = nn.Dense(self.out_dim, dtype=self.dtype, param_dtype=jnp.float32,
+                     name="fc2")(x)
+        x = nn.Dropout(self.drop_rate)(x, deterministic=deterministic)
+        return x
+
+
+class DropPath(nn.Module):
+    """Stochastic depth — drop the residual branch per sample, scaling the
+    survivors by 1/keep_prob (timm DropPath semantics)."""
+
+    rate: float
+
+    @nn.compact
+    def __call__(self, x: jax.Array, deterministic: bool = True) -> jax.Array:
+        if deterministic or self.rate == 0.0:
+            return x
+        keep = 1.0 - self.rate
+        rng = self.make_rng("droppath")
+        shape = (x.shape[0],) + (1,) * (x.ndim - 1)
+        mask = jax.random.bernoulli(rng, keep, shape)
+        return jnp.where(mask, x / keep, jnp.zeros_like(x)).astype(x.dtype)
+
+
+class Attention(nn.Module):
+    """Multi-head self-attention returning its probability tensor.
+
+    Mirrors the reference's attention-with-taps (ref: tools/
+    deit_models_attn.py:17-60): when ``policy`` is given the probabilities
+    come from the fp32 policy-masked softmax; otherwise a plain (fp32)
+    softmax. Returns (out, probs (B, H, N, N)).
+    """
+
+    num_heads: int
+    qkv_bias: bool = True
+    attn_drop: float = 0.0
+    proj_drop: float = 0.0
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jax.Array,
+        policy: Optional[jax.Array] = None,
+        deterministic: bool = True,
+    ) -> Tuple[jax.Array, jax.Array]:
+        B, N, C = x.shape
+        H = self.num_heads
+        hd = C // H
+        prec = _matmul_precision(self.dtype)
+
+        qkv = nn.Dense(
+            3 * C, use_bias=self.qkv_bias, dtype=self.dtype,
+            param_dtype=jnp.float32, name="qkv",
+        )(x)
+        qkv = qkv.reshape(B, N, 3, H, hd).transpose(2, 0, 3, 1, 4)
+        q, k, v = qkv[0], qkv[1], qkv[2]
+
+        logits = jnp.einsum("bhnd,bhmd->bhnm", q, k, precision=prec)
+        logits = logits * (hd ** -0.5)
+
+        if policy is None:
+            probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+            probs = probs.astype(self.dtype)
+        else:
+            probs = softmax_with_policy(logits, policy)
+        probs = nn.Dropout(self.attn_drop)(probs, deterministic=deterministic)
+
+        out = jnp.einsum("bhnm,bhmd->bhnd", probs, v, precision=prec)
+        out = out.transpose(0, 2, 1, 3).reshape(B, N, C)
+        out = nn.Dense(C, dtype=self.dtype, param_dtype=jnp.float32,
+                       name="proj")(out)
+        out = nn.Dropout(self.proj_drop)(out, deterministic=deterministic)
+        return out, probs
+
+
+class Block(nn.Module):
+    """Pre-LN transformer block returning (x, attn_probs)
+    (ref: tools/deit_models_attn.py:63-81)."""
+
+    num_heads: int
+    mlp_ratio: float = 4.0
+    qkv_bias: bool = True
+    drop_rate: float = 0.0
+    attn_drop: float = 0.0
+    drop_path: float = 0.0
+    layer_norm_eps: float = 1e-6
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jax.Array,
+        policy: Optional[jax.Array] = None,
+        deterministic: bool = True,
+    ) -> Tuple[jax.Array, jax.Array]:
+        C = x.shape[-1]
+        h, attn = Attention(
+            self.num_heads, self.qkv_bias, self.attn_drop, self.drop_rate,
+            dtype=self.dtype, name="attn",
+        )(
+            nn.LayerNorm(self.layer_norm_eps, dtype=self.dtype,
+                         param_dtype=jnp.float32, name="norm1")(x),
+            policy,
+            deterministic,
+        )
+        x = x + DropPath(self.drop_path, name="drop_path1")(h, deterministic)
+        h = Mlp(
+            int(C * self.mlp_ratio), C, self.drop_rate, dtype=self.dtype,
+            name="mlp",
+        )(
+            nn.LayerNorm(self.layer_norm_eps, dtype=self.dtype,
+                         param_dtype=jnp.float32, name="norm2")(x),
+            deterministic,
+        )
+        x = x + DropPath(self.drop_path, name="drop_path2")(h, deterministic)
+        return x, attn
+
+
+class TalkingHeadAttention(nn.Module):
+    """CaiT talking-heads attention (ref: tools/cait_models_attn.py:93-132):
+    head-mixing linear projections before and after the softmax."""
+
+    num_heads: int
+    qkv_bias: bool = True
+    attn_drop: float = 0.0
+    proj_drop: float = 0.0
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self, x: jax.Array, deterministic: bool = True
+    ) -> Tuple[jax.Array, jax.Array]:
+        B, N, C = x.shape
+        H = self.num_heads
+        hd = C // H
+        prec = _matmul_precision(self.dtype)
+
+        qkv = nn.Dense(3 * C, use_bias=self.qkv_bias, dtype=self.dtype,
+                       param_dtype=jnp.float32, name="qkv")(x)
+        qkv = qkv.reshape(B, N, 3, H, hd).transpose(2, 0, 3, 1, 4)
+        # NOTE: CaiT scales q BEFORE the matmul (cait_models_attn.py:118)
+        q, k, v = qkv[0] * (hd ** -0.5), qkv[1], qkv[2]
+
+        logits = jnp.einsum("bhnd,bhmd->bhnm", q, k, precision=prec)
+        # talking heads: mix along H pre-softmax (proj_l) and post (proj_w)
+        logits = nn.DenseGeneral(
+            H, axis=1, dtype=self.dtype, param_dtype=jnp.float32, name="proj_l",
+        )(logits.transpose(0, 2, 3, 1)).transpose(0, 3, 1, 2)
+        probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+        probs = probs.astype(self.dtype)
+        probs = nn.DenseGeneral(
+            H, axis=1, dtype=self.dtype, param_dtype=jnp.float32, name="proj_w",
+        )(probs.transpose(0, 2, 3, 1)).transpose(0, 3, 1, 2)
+        probs = nn.Dropout(self.attn_drop)(probs, deterministic=deterministic)
+
+        out = jnp.einsum("bhnm,bhmd->bhnd", probs, v, precision=prec)
+        out = out.transpose(0, 2, 1, 3).reshape(B, N, C)
+        out = nn.Dense(C, dtype=self.dtype, param_dtype=jnp.float32,
+                       name="proj")(out)
+        out = nn.Dropout(self.proj_drop)(out, deterministic=deterministic)
+        return out, probs
+
+
+class ClassAttention(nn.Module):
+    """CaiT class attention: CLS-only query over [CLS; patches]
+    (ref: tools/cait_models_attn.py:34-90). Separate q/k/v projections."""
+
+    num_heads: int
+    qkv_bias: bool = True
+    attn_drop: float = 0.0
+    proj_drop: float = 0.0
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jax.Array,
+        policy: Optional[jax.Array] = None,
+        deterministic: bool = True,
+    ) -> Tuple[jax.Array, jax.Array]:
+        B, N, C = x.shape
+        H = self.num_heads
+        hd = C // H
+        prec = _matmul_precision(self.dtype)
+
+        dense = lambda name: nn.Dense(  # noqa: E731
+            C, use_bias=self.qkv_bias, dtype=self.dtype,
+            param_dtype=jnp.float32, name=name,
+        )
+        q = dense("q")(x[:, :1]).reshape(B, 1, H, hd).transpose(0, 2, 1, 3)
+        k = dense("k")(x).reshape(B, N, H, hd).transpose(0, 2, 1, 3)
+        v = nn.Dense(C, use_bias=self.qkv_bias, dtype=self.dtype,
+                     param_dtype=jnp.float32, name="v")(x)
+        v = v.reshape(B, N, H, hd).transpose(0, 2, 1, 3)
+
+        q = q * (hd ** -0.5)
+        logits = jnp.einsum("bhnd,bhmd->bhnm", q, k, precision=prec)
+        if policy is None:
+            probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+            probs = probs.astype(self.dtype)
+        else:
+            probs = class_attn_softmax_with_policy(logits, policy)
+        probs = nn.Dropout(self.attn_drop)(probs, deterministic=deterministic)
+
+        out = jnp.einsum("bhnm,bhmd->bhnd", probs, v, precision=prec)
+        out = out.transpose(0, 2, 1, 3).reshape(B, 1, C)
+        out = nn.Dense(C, dtype=self.dtype, param_dtype=jnp.float32,
+                       name="proj")(out)
+        out = nn.Dropout(self.proj_drop)(out, deterministic=deterministic)
+        return out, probs
+
+
+class LayerScaleBlock(nn.Module):
+    """CaiT self-attention block with LayerScale
+    (ref: tools/cait_models_attn.py:135-158)."""
+
+    num_heads: int
+    mlp_ratio: float = 4.0
+    qkv_bias: bool = True
+    drop_rate: float = 0.0
+    attn_drop: float = 0.0
+    drop_path: float = 0.0
+    init_values: float = 1e-4
+    layer_norm_eps: float = 1e-6
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self, x: jax.Array, deterministic: bool = True
+    ) -> Tuple[jax.Array, jax.Array]:
+        C = x.shape[-1]
+        gamma_1 = self.param(
+            "gamma_1", nn.initializers.constant(self.init_values), (C,), jnp.float32
+        )
+        gamma_2 = self.param(
+            "gamma_2", nn.initializers.constant(self.init_values), (C,), jnp.float32
+        )
+        h, attn = TalkingHeadAttention(
+            self.num_heads, self.qkv_bias, self.attn_drop, self.drop_rate,
+            dtype=self.dtype, name="attn",
+        )(
+            nn.LayerNorm(self.layer_norm_eps, dtype=self.dtype,
+                         param_dtype=jnp.float32, name="norm1")(x),
+            deterministic,
+        )
+        x = x + DropPath(self.drop_path, name="drop_path1")(
+            gamma_1.astype(h.dtype) * h, deterministic
+        )
+        h = Mlp(int(C * self.mlp_ratio), C, self.drop_rate, dtype=self.dtype,
+                name="mlp")(
+            nn.LayerNorm(self.layer_norm_eps, dtype=self.dtype,
+                         param_dtype=jnp.float32, name="norm2")(x),
+            deterministic,
+        )
+        x = x + DropPath(self.drop_path, name="drop_path2")(
+            gamma_2.astype(h.dtype) * h, deterministic
+        )
+        return x, attn
+
+
+class LayerScaleBlockClassAttn(nn.Module):
+    """CaiT class-attention block with LayerScale
+    (ref: tools/cait_models_attn.py:161-185). Updates only the CLS token."""
+
+    num_heads: int
+    mlp_ratio: float = 4.0
+    qkv_bias: bool = True
+    init_values: float = 1e-4
+    layer_norm_eps: float = 1e-6
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jax.Array,
+        x_cls: jax.Array,
+        policy: Optional[jax.Array] = None,
+        deterministic: bool = True,
+    ) -> Tuple[jax.Array, jax.Array]:
+        C = x.shape[-1]
+        gamma_1 = self.param(
+            "gamma_1", nn.initializers.constant(self.init_values), (C,), jnp.float32
+        )
+        gamma_2 = self.param(
+            "gamma_2", nn.initializers.constant(self.init_values), (C,), jnp.float32
+        )
+        u = jnp.concatenate([x_cls, x], axis=1)
+        h, attn = ClassAttention(
+            self.num_heads, self.qkv_bias, dtype=self.dtype, name="attn",
+        )(
+            nn.LayerNorm(self.layer_norm_eps, dtype=self.dtype,
+                         param_dtype=jnp.float32, name="norm1")(u),
+            policy,
+            deterministic,
+        )
+        x_cls = x_cls + gamma_1.astype(h.dtype) * h
+        h = Mlp(int(C * self.mlp_ratio), C, 0.0, dtype=self.dtype, name="mlp")(
+            nn.LayerNorm(self.layer_norm_eps, dtype=self.dtype,
+                         param_dtype=jnp.float32, name="norm2")(x_cls),
+            deterministic,
+        )
+        x_cls = x_cls + gamma_2.astype(h.dtype) * h
+        return x_cls, attn

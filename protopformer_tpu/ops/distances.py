@@ -1,0 +1,88 @@
+"""Prototype distances and activations.
+
+The reference computes per-token squared-L2 distance to each prototype with a
+1x1 conv identity ``|x|^2 - 2 x.p + |p|^2`` over NCHW tensors
+(ref: protopformer.py:201-218 ``_l2_convolution_single``). Prototypes are
+(P, C, 1, 1), i.e. plain C-vectors, so on TPU the whole thing is ONE MXU
+matmul over a (B*K, C) x (C, P) contraction — no conv, no NCHW. We keep
+tokens in (B, K, C) layout throughout.
+
+Distance->similarity is ``log((d + 1) / (d + eps))`` with eps=1e-4
+(ref: protopformer.py:228-231), and the per-prototype activation is the
+spatial max over tokens (ref: protopformer.py:236-247 — max_pool2d over the
+full grid == max over K).
+
+All of this runs fp32: the 1e-4 activation-map parity budget does not survive
+bf16 through a log of a difference of squares.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def l2_distances(tokens: jax.Array, prototypes: jax.Array) -> jax.Array:
+    """Squared L2 distance from every token to every prototype.
+
+    Args:
+      tokens: (B, K, C) token features (any float dtype; computed fp32).
+      prototypes: (P, C) prototype vectors.
+
+    Returns:
+      (B, K, P) fp32 distances, clamped at 0 like the reference's ReLU
+      (protopformer.py:216 — the expansion can go slightly negative in
+      floating point).
+    """
+    x = tokens.astype(jnp.float32)
+    p = prototypes.astype(jnp.float32)
+    x2 = jnp.sum(x * x, axis=-1, keepdims=True)  # (B, K, 1)
+    p2 = jnp.sum(p * p, axis=-1)  # (P,)
+    # full-fp32 contraction: JAX's default matmul precision truncates fp32
+    # operands, which the 1e-4 activation parity budget cannot absorb
+    xp = jnp.einsum(
+        "bkc,pc->bkp", x, p, precision=jax.lax.Precision.HIGHEST
+    )
+    return jax.nn.relu(x2 - 2.0 * xp + p2)
+
+
+def log_similarity(distances: jax.Array, epsilon: float = 1e-4) -> jax.Array:
+    """``log((d + 1) / (d + eps))`` (ref: protopformer.py:228-231)."""
+    d = distances.astype(jnp.float32)
+    return jnp.log((d + 1.0) / (d + epsilon))
+
+
+def distance_to_similarity(
+    distances: jax.Array,
+    activation_function: str = "log",
+    epsilon: float = 1e-4,
+) -> jax.Array:
+    """Dispatch on the activation function name (ref: protopformer.py:228-234)."""
+    if activation_function == "log":
+        return log_similarity(distances, epsilon)
+    if activation_function == "linear":
+        return -distances
+    raise ValueError(f"unknown prototype_activation_function: {activation_function}")
+
+
+def prototype_activations(
+    tokens: jax.Array,
+    prototypes: jax.Array,
+    activation_function: str = "log",
+    epsilon: float = 1e-4,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Distances, per-token activation maps, and max-pooled activations.
+
+    Mirrors ``PPNet.get_activations`` (ref: protopformer.py:236-247) in token
+    layout: the reference max-pools its (B, P, h, w) maps over the full
+    spatial extent, which is a max over the K token axis here.
+
+    Returns:
+      (activations (B, P), distances (B, K, P), proto_act_maps (B, K, P))
+    """
+    d = l2_distances(tokens, prototypes)  # (B, K, P)
+    act_maps = distance_to_similarity(d, activation_function, epsilon)
+    pooled = jnp.max(act_maps, axis=1)  # (B, P)
+    return pooled, d, act_maps

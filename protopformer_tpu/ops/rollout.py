@@ -1,0 +1,183 @@
+"""Attention rollout — CLS->patch foreground scoring.
+
+The reference computes rollout by stacking every block's (B, H, N, N)
+attention map and post-processing the list (ref: tools/deit_models_attn.py:
+99-124 and tools/cait_models_attn.py:223-261). On TPU that materializes
+``depth * B * H * N * N`` floats in HBM for no reason: only the running
+product matters. Here rollout is an *incremental* operator —
+``rollout_step`` folds one block's head-fused map into a scan-carried
+(B, N, N) product — so the pruning forward keeps O(B*N*N) state total.
+
+Per-layer normalization semantics preserved from the reference
+(deit_models_attn.py:103-121):
+  1. fuse heads (mean; max/min variants kept for parity),
+  2. zero the lowest 90% of the *flattened* (B, M*N) values
+     (torch: ``flat.topk(int(0.9*M*N), largest=False)`` then scatter zeros;
+     here: keep values >= the kept-count-th largest — identical except on
+     exact ties at the threshold, which have measure zero for real attention),
+  3. blend with identity at weight 0.2 and renormalize rows,
+  4. left-multiply into the running product (``result = a @ result``).
+
+All rollout math is fp32 at ``Precision.HIGHEST`` — the 1e-4 activation-map
+parity budget is spent almost entirely here, and JAX's default matmul
+precision truncates fp32 operands (bf16-class error ~1e-3) even off-TPU.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def _fuse_heads(attn: jax.Array, head_fusion: str) -> jax.Array:
+    """(B, H, M, N) -> (B, M, N). Reference default is 'mean'
+    (deit_models_attn.py:99, cait pruning path passes 'mean' at
+    cait_models_attn.py:328)."""
+    if head_fusion == "mean":
+        return jnp.mean(attn, axis=1)
+    if head_fusion == "max":
+        return jnp.max(attn, axis=1)
+    if head_fusion == "min":
+        return jnp.min(attn, axis=1)
+    raise ValueError(f"unknown head_fusion: {head_fusion}")
+
+
+def normalize_attention_map(
+    attn_fused: jax.Array,
+    discard_ratio: float = 0.9,
+    identity_weight: float = 0.2,
+) -> jax.Array:
+    """Discard + identity-blend + row-normalize one fused map.
+
+    Args:
+      attn_fused: (B, M, N) head-fused attention probabilities. M == N for
+        self-attention; M == 1 for CaiT class attention.
+      discard_ratio: fraction of the flattened (M*N) values zeroed per batch
+        element (ref: deit_models_attn.py:110-113).
+      identity_weight: identity blend weight (ref: deit_models_attn.py:118-119).
+
+    Returns:
+      (B, M, N) fp32 normalized map.
+    """
+    B, M, N = attn_fused.shape
+    a = attn_fused.astype(jnp.float32)
+    flat = a.reshape(B, M * N)
+    keep = M * N - int(M * N * discard_ratio)
+    # torch zeroes the k smallest by index; thresholding on the keep-th
+    # largest value is equivalent up to ties at the threshold.
+    kth = jax.lax.top_k(flat, keep)[0][:, -1]
+    flat = jnp.where(flat >= kth[:, None], flat, 0.0)
+    a = flat.reshape(B, M, N)
+    # identity is row-truncated for class-attention maps (M < N)
+    # (ref: cait_models_attn.py:240-241)
+    eye = jnp.eye(N, dtype=jnp.float32)[:M]
+    a = (a + identity_weight * eye) / (1.0 + identity_weight)
+    return a / jnp.sum(a, axis=-1, keepdims=True)
+
+
+def rollout_step(
+    result: jax.Array,
+    attn: jax.Array,
+    discard_ratio: float = 0.9,
+    head_fusion: str = "mean",
+    identity_weight: float = 0.2,
+) -> jax.Array:
+    """Fold one block's attention into the running rollout product.
+
+    Args:
+      result: (B, N, N) fp32 running product (init: identity).
+      attn: (B, H, N, N) attention probabilities from one block.
+
+    Returns:
+      (B, N, N) fp32 updated product ``a @ result``.
+    """
+    a = normalize_attention_map(
+        _fuse_heads(attn, head_fusion), discard_ratio, identity_weight
+    )
+    return jnp.matmul(a, result, precision=jax.lax.Precision.HIGHEST)
+
+
+def identity_rollout(batch: int, n: int) -> jax.Array:
+    """Initial rollout carry (ref: deit_models_attn.py:100)."""
+    return jnp.broadcast_to(jnp.eye(n, dtype=jnp.float32), (batch, n, n))
+
+
+def attn_rollout(
+    all_attn: jax.Array,
+    discard_ratio: float = 0.9,
+    head_fusion: str = "mean",
+    identity_weight: float = 0.2,
+) -> jax.Array:
+    """Full rollout over a stacked (L, B, H, N, N) attention tensor.
+
+    Batch-offline equivalent of the reference's ``attn_rollout``
+    (deit_models_attn.py:99-124), expressed as a ``lax.scan`` so XLA compiles
+    one program regardless of depth. The hot training path uses
+    ``rollout_step`` incrementally instead.
+
+    Returns:
+      (B, N, N) fp32 rollout; CLS->patch scores are ``out[:, 0, 1:]``.
+    """
+    L, B, H, N, _ = all_attn.shape
+
+    def body(result, attn):
+        return (
+            rollout_step(result, attn, discard_ratio, head_fusion, identity_weight),
+            None,
+        )
+
+    init = identity_rollout(B, N)
+    result, _ = jax.lax.scan(body, init, all_attn)
+    return result
+
+
+def attn_rollout_cait(
+    sa_attn: jax.Array,
+    ca_attn: jax.Array,
+    discard_ratio: float = 0.9,
+    head_fusion: str = "mean",
+    identity_weight: float = 0.2,
+) -> Tuple[jax.Array, jax.Array]:
+    """CaiT rollout (ref: tools/cait_models_attn.py:223-261).
+
+    CaiT self-attention runs on the 196 patch tokens WITHOUT the CLS token;
+    class-attention maps are (B, H, 1, 197) rows over [CLS; patches].
+
+    Steps (reference semantics):
+      * normalize every map (SA and CA alike) with the per-layer transform;
+      * product of the normalized SA maps -> (B, 196, 196) rollout;
+      * mean the normalized CA maps over the layer axis, drop the CLS column,
+        and right-multiply by the SA rollout -> (B, 1, 196) CLS scores.
+
+    Args:
+      sa_attn: (L_sa, B, H, P, P) self-attention maps (P = num patches).
+      ca_attn: (L_ca, B, H, 1, 1+P) class-attention maps.
+
+    Returns:
+      (rollout (B, P, P), cls_scores (B, 1, P)) both fp32.
+    """
+    L_sa, B, H, P, _ = sa_attn.shape
+
+    def body(result, attn):
+        return (
+            rollout_step(result, attn, discard_ratio, head_fusion, identity_weight),
+            None,
+        )
+
+    result, _ = jax.lax.scan(body, identity_rollout(B, P), sa_attn)
+
+    # normalize each CA map: (B, 1, 1+P) rows; identity row-truncated to the
+    # first row (adds weight to the CLS column) — ref: cait_models_attn.py:240-245
+    def norm_ca(attn):
+        return normalize_attention_map(
+            _fuse_heads(attn, head_fusion), discard_ratio, identity_weight
+        )
+
+    ca_norm = jax.vmap(norm_ca)(ca_attn)  # (L_ca, B, 1, 1+P)
+    cls_mean = jnp.mean(ca_norm, axis=0)  # (B, 1, 1+P)
+    cls_mean = cls_mean[:, :, 1:]  # drop CLS column (ref: :258)
+    cls_scores = jnp.matmul(cls_mean, result, precision=jax.lax.Precision.HIGHEST)
+    return result, cls_scores

@@ -1,0 +1,221 @@
+"""Unit tests for the core numeric ops against NumPy/torch oracles."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import torch
+import pytest
+
+from protopformer_tpu.ops import (
+    softmax_with_policy,
+    class_attn_softmax_with_policy,
+    normalize_attention_map,
+    attn_rollout,
+    attn_rollout_cait,
+    l2_distances,
+    log_similarity,
+    prototype_activations,
+    topk_sorted_indices,
+    gather_tokens,
+    scatter_tokens_to_grid,
+    reserve_policy,
+    weighted_spatial_stats,
+    ppc_loss,
+)
+from tests import oracles
+
+
+def test_softmax_with_policy_matches_oracle(rng):
+    B, H, N = 2, 3, 17
+    logits = rng.normal(size=(B, H, N, N)).astype(np.float32)
+    keep = (rng.uniform(size=(B, N)) > 0.4).astype(np.float32)
+    keep[:, 0] = 1.0  # CLS always kept
+
+    got = np.asarray(softmax_with_policy(jnp.asarray(logits), jnp.asarray(keep)))
+    want = oracles.softmax_with_policy_torch(
+        torch.from_numpy(logits), torch.from_numpy(keep)[:, :, None]
+    ).numpy()
+    np.testing.assert_allclose(got, want, atol=1e-6)
+
+
+def test_softmax_with_policy_all_ones_is_eps_softmax(rng):
+    # all-ones policy is NOT a plain softmax: the eps terms shift it slightly.
+    B, H, N = 1, 2, 9
+    logits = rng.normal(size=(B, H, N, N)).astype(np.float32)
+    ones = np.ones((B, N), np.float32)
+    got = np.asarray(softmax_with_policy(jnp.asarray(logits), jnp.asarray(ones)))
+    plain = jax.nn.softmax(jnp.asarray(logits), axis=-1)
+    np.testing.assert_allclose(got, np.asarray(plain), atol=1e-5)
+    assert not np.allclose(got, np.asarray(plain), atol=1e-9)
+    np.testing.assert_allclose(got.sum(-1), 1.0, atol=1e-5)
+
+
+def test_class_attn_softmax_with_policy(rng):
+    B, H, N = 2, 4, 13
+    logits = rng.normal(size=(B, H, 1, N)).astype(np.float32)
+    keep = (rng.uniform(size=(B, N)) > 0.5).astype(np.float32)
+    keep[:, 0] = 1.0
+    got = np.asarray(
+        class_attn_softmax_with_policy(jnp.asarray(logits), jnp.asarray(keep))
+    )
+    want = oracles.softmax_with_policy_torch(
+        torch.from_numpy(logits), torch.from_numpy(keep)[:, :, None],
+        identity_escape=False,
+    ).numpy()
+    np.testing.assert_allclose(got, want, atol=1e-6)
+    # masked columns contribute only the eps floor
+    masked = got[0, 0, 0][keep[0] == 0]
+    assert (masked < 1e-5).all()
+
+
+def test_normalize_attention_map_matches_oracle(rng):
+    B, N = 3, 29
+    # softmax rows so values are realistic attention probabilities (no ties)
+    a = rng.normal(size=(B, N, N)).astype(np.float32)
+    a = np.exp(a) / np.exp(a).sum(-1, keepdims=True)
+    got = np.asarray(normalize_attention_map(jnp.asarray(a)))
+    want = oracles.normalize_map_torch(torch.from_numpy(a)).numpy()
+    np.testing.assert_allclose(got, want, atol=1e-6)
+
+
+def test_attn_rollout_matches_oracle(rng):
+    L, B, H, N = 5, 2, 3, 19
+    attn = rng.normal(size=(L, B, H, N, N)).astype(np.float32)
+    attn = np.exp(attn) / np.exp(attn).sum(-1, keepdims=True)
+    got = np.asarray(attn_rollout(jnp.asarray(attn)))
+    want = oracles.attn_rollout_torch([torch.from_numpy(a) for a in attn]).numpy()
+    np.testing.assert_allclose(got, want, atol=1e-5)
+    # rows of the rollout product stay stochastic (each factor is row-stochastic)
+    np.testing.assert_allclose(got.sum(-1), 1.0, atol=1e-4)
+
+
+def test_attn_rollout_cait_shapes_and_rows(rng):
+    L_sa, L_ca, B, H, P = 4, 2, 2, 3, 16
+    sa = rng.normal(size=(L_sa, B, H, P, P)).astype(np.float32)
+    sa = np.exp(sa) / np.exp(sa).sum(-1, keepdims=True)
+    ca = rng.normal(size=(L_ca, B, H, 1, P + 1)).astype(np.float32)
+    ca = np.exp(ca) / np.exp(ca).sum(-1, keepdims=True)
+    roll, cls = attn_rollout_cait(jnp.asarray(sa), jnp.asarray(ca))
+    assert roll.shape == (B, P, P)
+    assert cls.shape == (B, 1, P)
+    np.testing.assert_allclose(np.asarray(roll).sum(-1), 1.0, atol=1e-4)
+    assert (np.asarray(cls) >= 0).all()
+
+
+def test_l2_distances_matches_torch_conv(rng):
+    B, K, C, P = 2, 81, 192, 50
+    tokens = rng.normal(size=(B, K, C)).astype(np.float32)
+    protos = rng.uniform(size=(P, C)).astype(np.float32)
+    got = np.asarray(l2_distances(jnp.asarray(tokens), jnp.asarray(protos)))
+    want = oracles.l2_distances_torch(
+        torch.from_numpy(tokens), torch.from_numpy(protos)
+    ).numpy()
+    np.testing.assert_allclose(got, want, atol=2e-3, rtol=1e-5)
+    # exact identity check against direct computation
+    direct = ((tokens[:, :, None, :] - protos[None, None]) ** 2).sum(-1)
+    np.testing.assert_allclose(got, direct, atol=2e-3, rtol=1e-5)
+
+
+def test_log_similarity():
+    d = jnp.asarray([0.0, 1.0, 10.0], jnp.float32)
+    got = np.asarray(log_similarity(d))
+    want = np.log((np.asarray(d) + 1) / (np.asarray(d) + 1e-4))
+    # fp32 log vs float64 numpy reference; parity budget is 1e-4
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_prototype_activations_max_pool(rng):
+    B, K, C, P = 2, 9, 16, 8
+    tokens = rng.normal(size=(B, K, C)).astype(np.float32)
+    protos = rng.uniform(size=(P, C)).astype(np.float32)
+    pooled, d, maps = prototype_activations(jnp.asarray(tokens), jnp.asarray(protos))
+    assert pooled.shape == (B, P)
+    assert d.shape == (B, K, P)
+    np.testing.assert_allclose(np.asarray(pooled), np.asarray(maps).max(axis=1))
+
+
+def test_topk_sorted_and_gather_match_torch(rng):
+    B, N, k, C = 3, 196, 81, 7
+    scores = rng.normal(size=(B, N)).astype(np.float32)
+    tokens = rng.normal(size=(B, N, C)).astype(np.float32)
+    idx = np.asarray(topk_sorted_indices(jnp.asarray(scores), k))
+    t_idx = torch.topk(torch.from_numpy(scores), k=k, dim=-1)[1].sort(dim=-1)[0]
+    np.testing.assert_array_equal(idx, t_idx.numpy())
+    got = np.asarray(gather_tokens(jnp.asarray(tokens), jnp.asarray(idx)))
+    want = np.take_along_axis(tokens, idx[:, :, None], axis=1)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_scatter_tokens_to_grid_roundtrip(rng):
+    B, P, K, N = 2, 5, 9, 49
+    vals = rng.normal(size=(B, P, K)).astype(np.float32)
+    idx = np.stack([rng.choice(N, size=K, replace=False) for _ in range(B)])
+    idx.sort(axis=-1)
+    grid = np.asarray(
+        scatter_tokens_to_grid(jnp.asarray(vals), jnp.asarray(idx), N)
+    )
+    assert grid.shape == (B, P, N)
+    for b in range(B):
+        np.testing.assert_allclose(grid[b][:, idx[b]], vals[b], atol=1e-6)
+        mask = np.ones(N, bool)
+        mask[idx[b]] = False
+        assert (grid[b][:, mask] == 0).all()
+
+
+def test_reserve_policy(rng):
+    B, N, k = 2, 197, 81
+    scores = rng.normal(size=(B, N - 1)).astype(np.float32)
+    policy, idx = reserve_policy(jnp.asarray(scores), k, N)
+    policy = np.asarray(policy)
+    assert policy.shape == (B, N)
+    assert (policy[:, 0] == 1).all()
+    assert policy.sum() == B * (k + 1)
+    for b in range(B):
+        assert set(np.flatnonzero(policy[b, 1:])) == set(np.asarray(idx)[b])
+
+
+def test_weighted_spatial_stats_matches_oracle(rng):
+    M, g = 6, 14
+    w = rng.uniform(size=(M, g * g)).astype(np.float32)
+    mean, cov = weighted_spatial_stats(jnp.asarray(w), g)
+    pts = torch.tensor(
+        [[float(x), float(y)] for x in range(g) for y in range(g)]
+    )[None].repeat(M, 1, 1)
+    want_mean, want_cov = oracles.batch_cov_torch(pts, torch.from_numpy(w))
+    np.testing.assert_allclose(np.asarray(mean), want_mean.numpy(), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(cov), want_cov.numpy(), atol=1e-3)
+
+
+def test_ppc_loss_matches_oracle(rng):
+    B, num_classes, ppc, K, g = 4, 10, 10, 81, 14
+    P = num_classes * ppc
+    act = rng.uniform(size=(B, P, K)).astype(np.float32) * 9.0
+    cls_attn = rng.uniform(size=(B, g * g)).astype(np.float32)
+    label = rng.integers(0, num_classes, size=(B,))
+    got_cov, got_mean = ppc_loss(
+        jnp.asarray(act), jnp.asarray(cls_attn), jnp.asarray(label),
+        num_classes, ppc, g, cov_thresh=1.0, mean_thresh=2.0,
+    )
+    want_cov, want_mean = oracles.ppc_loss_torch(
+        torch.from_numpy(act), torch.from_numpy(cls_attn),
+        torch.from_numpy(np.asarray(label)), ppc, g, 1.0, 2.0,
+    )
+    np.testing.assert_allclose(float(got_cov), float(want_cov), atol=1e-4)
+    np.testing.assert_allclose(float(got_mean), float(want_mean), atol=1e-5)
+
+
+def test_ppc_loss_grad_is_finite(rng):
+    """The sqrt in the pairwise-mean distance must not produce NaN grads at
+    the zero diagonal."""
+    B, num_classes, ppc, K, g = 2, 4, 5, 9, 7
+    P = num_classes * ppc
+    act = jnp.asarray(rng.uniform(size=(B, P, K)).astype(np.float32))
+    cls_attn = jnp.asarray(rng.uniform(size=(B, g * g)).astype(np.float32))
+    label = jnp.asarray(rng.integers(0, num_classes, size=(B,)))
+
+    def f(a):
+        c, m = ppc_loss(a, cls_attn, label, num_classes, ppc, g, 1.0, 2.0)
+        return c + m
+
+    grad = jax.grad(f)(act)
+    assert np.isfinite(np.asarray(grad)).all()
