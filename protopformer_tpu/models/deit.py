@@ -1,0 +1,176 @@
+"""DeiT backbone with attention-rollout token pruning.
+
+TPU-native rebuild of the reference's ``MyVisionTransformer``
+(ref: tools/deit_models_attn.py:84-240). Differences by design:
+
+  * the per-block attention maps are not stacked; the rollout product is
+    accumulated incrementally (O(B*N*N) state, see ops/rollout.py);
+  * the layer-indexed pruning branch (``if i in layer_ids``) is unrolled at
+    trace time — reserve layers are static config, so XLA sees straight-line
+    code with fixed shapes;
+  * the rollout/top-k/policy computation is under ``stop_gradient`` exactly
+    like the reference's ``detach`` (deit_models_attn.py:225).
+
+The pruning forward feeds EVERY block the current policy (initially all
+ones), reproducing the reference's eps-stabilized masked softmax even before
+the prune point (deit_models_attn.py:218-235).
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from protopformer_tpu.core.config import BackboneConfig
+from protopformer_tpu.models.layers import Block, PatchEmbed
+from protopformer_tpu.ops.rollout import identity_rollout, rollout_step
+from protopformer_tpu.ops.tokens import reserve_policy
+
+
+class DeiTBackbone(nn.Module):
+    """DeiT/ViT encoder with attention taps and token pruning."""
+
+    config: BackboneConfig
+    compute_dtype: jnp.dtype = jnp.float32
+
+    def setup(self):
+        cfg = self.config
+        self.patch_embed = PatchEmbed(
+            cfg.patch_size, cfg.embed_dim, dtype=self.compute_dtype,
+            name="patch_embed",
+        )
+        self.cls_token = self.param(
+            "cls_token", nn.initializers.truncated_normal(0.02),
+            (1, 1, cfg.embed_dim), jnp.float32,
+        )
+        self.pos_embed = self.param(
+            "pos_embed", nn.initializers.truncated_normal(0.02),
+            (1, cfg.num_patches + 1, cfg.embed_dim), jnp.float32,
+        )
+        # stochastic-depth decay 0 -> drop_path_rate (ref: deit_models_attn.py:89)
+        depth = cfg.depth
+        dpr = [cfg.drop_path_rate * i / max(depth - 1, 1) for i in range(depth)]
+        self.blocks = [
+            Block(
+                num_heads=cfg.num_heads,
+                mlp_ratio=cfg.mlp_ratio,
+                qkv_bias=cfg.qkv_bias,
+                drop_rate=cfg.drop_rate,
+                attn_drop=0.0,  # hardcoded in the reference Block build (:93)
+                drop_path=dpr[i],
+                layer_norm_eps=cfg.layer_norm_eps,
+                dtype=self.compute_dtype,
+                name=f"blocks_{i}",
+            )
+            for i in range(depth)
+        ]
+        self.norm = nn.LayerNorm(
+            cfg.layer_norm_eps, dtype=self.compute_dtype,
+            param_dtype=jnp.float32, name="norm",
+        )
+        self.pos_drop = nn.Dropout(cfg.drop_rate)
+
+    # --- embedding -------------------------------------------------------
+
+    def embed_all(
+        self, x: jax.Array, deterministic: bool = True
+    ) -> Tuple[jax.Array, jax.Array]:
+        """Image -> (cls_embed (B,1,D), patch_embed (B,N,D)) with CLS + pos
+        embedding (ref: forward_feature_patch_embed_all,
+        deit_models_attn.py:172-181)."""
+        B = x.shape[0]
+        tokens = self.patch_embed(x.astype(self.compute_dtype))
+        cls = jnp.broadcast_to(
+            self.cls_token.astype(self.compute_dtype),
+            (B, 1, self.config.embed_dim),
+        )
+        full = jnp.concatenate([cls, tokens], axis=1)
+        full = full + self.pos_embed.astype(self.compute_dtype)
+        full = self.pos_drop(full, deterministic=deterministic)
+        return full[:, :1], full[:, 1:]
+
+    def embed_patches(
+        self, x: jax.Array, deterministic: bool = True
+    ) -> jax.Array:
+        """Patch tokens only, pos-embed without the CLS slot
+        (ref: forward_feature_patch_embed, deit_models_attn.py:163-170)."""
+        tokens = self.patch_embed(x.astype(self.compute_dtype))
+        tokens = tokens + self.pos_embed[:, 1:].astype(self.compute_dtype)
+        return self.pos_drop(tokens, deterministic=deterministic)
+
+    # --- forward variants -------------------------------------------------
+
+    def masked_forward(
+        self,
+        cls_embed: jax.Array,
+        x_embed: jax.Array,
+        reserve_layer_nums: Sequence[Tuple[int, int]],
+        deterministic: bool = True,
+    ) -> Tuple[jax.Array, jax.Array]:
+        """Token-pruning forward (ref: forward_feature_mask_train_direct,
+        deit_models_attn.py:209-240).
+
+        At each reserve layer the rollout accumulated so far (blocks 0..i-1)
+        is frozen (stop_gradient), its CLS row ranks the patches, the top-k
+        become the keep-policy, and the remaining blocks run with the masked
+        softmax.
+
+        Returns:
+          (x (B, 1+N, D) after the final LayerNorm,
+           cls_token_attn (B, N) fp32 rollout CLS->patch scores from the last
+           prune point).
+        """
+        B, patch_num, _ = x_embed.shape
+        seq_len = 1 + patch_num
+        layer_ids = [l for l, _ in reserve_layer_nums]
+        reserve_map = dict(reserve_layer_nums)
+        last_prune = max(layer_ids)
+
+        x = jnp.concatenate([cls_embed, x_embed], axis=1)
+        policy = jnp.ones((B, seq_len), dtype=jnp.float32)
+        rollout = identity_rollout(B, seq_len)
+        cls_token_attn = None
+
+        for i, blk in enumerate(self.blocks):
+            if i in reserve_map:
+                cls_token_attn = jax.lax.stop_gradient(rollout[:, 0, 1:])
+                policy, _ = reserve_policy(
+                    cls_token_attn, reserve_map[i], seq_len
+                )
+            x, attn = blk(x, policy, deterministic)
+            if i < last_prune:
+                rollout = rollout_step(rollout, jax.lax.stop_gradient(attn))
+
+        x = self.norm(x)
+        return x, cls_token_attn
+
+    def feature_maps(
+        self, x: jax.Array, deterministic: bool = True
+    ) -> jax.Array:
+        """Unmasked forward, patch features only (ref: forward_feature_maps,
+        deit_models_attn.py:126-143 — its rollout result is unused there and
+        is not computed here)."""
+        cls_embed, x_embed = self.embed_all(x, deterministic)
+        tokens = jnp.concatenate([cls_embed, x_embed], axis=1)
+        for blk in self.blocks:
+            tokens, _ = blk(tokens, None, deterministic)
+        tokens = self.norm(tokens)
+        return tokens[:, 1:]
+
+    def forward_features(
+        self, x: jax.Array, deterministic: bool = True
+    ) -> jax.Array:
+        """Unmasked forward, CLS feature (timm forward_features semantics,
+        used by the BaseNet baseline — ref: protopformer.py:438-441)."""
+        cls_embed, x_embed = self.embed_all(x, deterministic)
+        tokens = jnp.concatenate([cls_embed, x_embed], axis=1)
+        for blk in self.blocks:
+            tokens, _ = blk(tokens, None, deterministic)
+        tokens = self.norm(tokens)
+        return tokens[:, 0]
+
+    def __call__(self, x: jax.Array, deterministic: bool = True) -> jax.Array:
+        return self.forward_features(x, deterministic)

