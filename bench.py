@@ -1,0 +1,75 @@
+"""Benchmark: DeiT-Ti@224 PPNet inference throughput (images/sec/chip).
+
+Runs the flagship configuration (BASELINE config #1 geometry: DeiT-Tiny/16
+@224, 2000x192 prototypes, reserve 81, use_global=True) in bf16 on the
+available accelerator and prints ONE JSON line.
+
+``vs_baseline`` is the ratio to an A100 PyTorch-AMP estimate for the same
+model (~5000 img/s for DeiT-Ti@224 inference — the reference publishes no
+throughput numbers, BASELINE.md; the driver's north star is >=5x this).
+"""
+
+import json
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+A100_BASELINE_IMG_PER_SEC = 5000.0
+
+
+def main():
+    from protopformer_tpu.core.config import PPNetConfig, backbone_preset
+    from protopformer_tpu.models import construct_ppnet
+
+    backbone = backbone_preset("deit_tiny_patch16_224")
+    ppnet_cfg = PPNetConfig(
+        prototype_shape=(2000, 192, 1, 1),
+        num_classes=200,
+        reserve_layers=(11,),
+        reserve_token_nums=(81,),
+        use_global=True,
+        global_proto_per_class=10,
+    )
+    model = construct_ppnet(backbone, ppnet_cfg, compute_dtype=jnp.bfloat16)
+
+    batch_size = 256
+    rng = jax.random.key(1028)
+    params = model.init(rng, jnp.zeros((1, 224, 224, 3)))["params"]
+    x = jax.random.normal(rng, (batch_size, 224, 224, 3), jnp.float32)
+
+    # The steps are chained through a scalar accumulator so every iteration
+    # must execute before the final host sync — through the remote-TPU
+    # tunnel, block_until_ready alone under-measures (fixed ~30ms RTT, and
+    # independent dispatches may be elided).
+    @jax.jit
+    def forward(acc, params, images):
+        out = model.apply({"params": params}, images, train=False)
+        return acc + out.logits.sum().astype(jnp.float32)
+
+    np.asarray(forward(jnp.float32(0), params, x))  # compile + warm
+
+    iters = 20
+    acc = jnp.float32(0)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        acc = forward(acc, params, x)
+    np.asarray(acc)
+    dt = time.perf_counter() - t0
+
+    img_per_sec = batch_size * iters / dt
+    print(
+        json.dumps(
+            {
+                "metric": "deit_tiny_ppnet_inference_throughput",
+                "value": round(img_per_sec, 1),
+                "unit": "images/sec/chip",
+                "vs_baseline": round(img_per_sec / A100_BASELINE_IMG_PER_SEC, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

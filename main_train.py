@@ -1,0 +1,352 @@
+"""Training/eval CLI — flag-compatible with the reference's main.py.
+
+Usage mirrors the reference (ref: main.py:34-206 argparse surface;
+scripts/train_cub.sh presets):
+
+    python main_train.py --base_architecture=deit_tiny_patch16_224 \
+        --data_set=CUB2011U --data_path=datasets \
+        --prototype_shape 2000 192 1 1 --reserve_layers 11 \
+        --reserve_token_nums 81 --use_global=True --use_ppc_loss=True ...
+
+Orchestration (ref: main.py:252-483): seed, mesh setup, data, model,
+optimizer, schedule, [resume], epoch loop with eval + checkpointing.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import os
+import time
+
+import numpy as np
+
+
+def str2bool(v) -> bool:
+    """Shell-friendly boolean flags (ref: tools/utils.py:26-32)."""
+    if isinstance(v, bool):
+        return v
+    if v.lower() in ("yes", "true", "t", "y", "1"):
+        return True
+    if v.lower() in ("no", "false", "f", "n", "0"):
+        return False
+    raise argparse.ArgumentTypeError("boolean value expected")
+
+
+def get_args_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        "ProtoPFormer-TPU training and evaluation", add_help=False
+    )
+    # ProtoPFormer block (ref: main.py:44-73)
+    p.add_argument("--base_architecture", type=str,
+                   default="deit_tiny_patch16_224")
+    p.add_argument("--img_size", type=int, default=224)
+    p.add_argument("--prototype_shape", nargs="+", type=int,
+                   default=[2000, 192, 1, 1])
+    p.add_argument("--prototype_activation_function", type=str, default="log")
+    p.add_argument("--add_on_layers_type", type=str, default="regular")
+    p.add_argument("--reserve_layers", nargs="+", type=int, default=[11])
+    p.add_argument("--reserve_token_nums", nargs="+", type=int, default=[81])
+    p.add_argument("--use_global", type=str2bool, default=True)
+    p.add_argument("--use_ppc_loss", type=str2bool, default=False)
+    p.add_argument("--ppc_cov_thresh", type=float, default=1.0)
+    p.add_argument("--ppc_mean_thresh", type=float, default=2.0)
+    p.add_argument("--global_coe", type=float, default=0.5)
+    p.add_argument("--global_proto_per_class", type=int, default=5)
+    p.add_argument("--ppc_cov_coe", type=float, default=0.1)
+    p.add_argument("--ppc_mean_coe", type=float, default=0.5)
+    # LRs (ref: main.py:64-67)
+    p.add_argument("--features_lr", type=float, default=1e-4)
+    p.add_argument("--add_on_layers_lr", type=float, default=3e-3)
+    p.add_argument("--prototype_vectors_lr", type=float, default=3e-3)
+    # model/EMA (ref: main.py:75-90)
+    p.add_argument("--model", type=str, default="deit_tiny_patch16_224")
+    p.add_argument("--input_size", type=int, default=224)
+    p.add_argument("--batch_size", type=int, default=256)
+    p.add_argument("--epochs", type=int, default=200)
+    p.add_argument("--save_ep_freq", type=int, default=400)
+    p.add_argument("--drop", type=float, default=0.0)
+    p.add_argument("--drop_path", type=float, default=0.1)
+    p.add_argument("--model_ema", type=str2bool, default=True)
+    p.add_argument("--model_ema_decay", type=float, default=0.99996)
+    # optimizer (ref: main.py:92-104)
+    p.add_argument("--opt", type=str, default="adamw")
+    p.add_argument("--opt-eps", dest="opt_eps", type=float, default=1e-8)
+    p.add_argument("--momentum", type=float, default=0.9)
+    p.add_argument("--weight_decay", type=float, default=0.05)
+    p.add_argument("--clip_grad", type=float, default=None)
+    # schedule (ref: main.py:105-130)
+    p.add_argument("--sched", type=str, default="cosine")
+    p.add_argument("--warmup-lr", dest="warmup_lr", type=float, default=1e-6)
+    p.add_argument("--min-lr", dest="min_lr", type=float, default=1e-5)
+    p.add_argument("--warmup-epochs", dest="warmup_epochs", type=int, default=5)
+    p.add_argument("--decay-epochs", dest="decay_epochs", type=float, default=30)
+    p.add_argument("--decay-rate", "--dr", dest="decay_rate", type=float,
+                   default=0.1)
+    p.add_argument("--cooldown-epochs", dest="cooldown_epochs", type=int,
+                   default=10)
+    # augmentation (ref: main.py:132-171)
+    p.add_argument("--color-jitter", dest="color_jitter", type=float,
+                   default=0.4)
+    p.add_argument("--aa", type=str, default="rand-m9-mstd0.5-inc1")
+    p.add_argument("--smoothing", type=float, default=0.0)
+    p.add_argument("--enable_smoothing", type=str2bool, default=False)
+    p.add_argument("--train-interpolation", dest="train_interpolation",
+                   type=str, default="bicubic")
+    p.add_argument("--reprob", type=float, default=0.25)
+    p.add_argument("--remode", type=str, default="pixel")
+    p.add_argument("--recount", type=int, default=1)
+    p.add_argument("--mixup", type=float, default=0.0)
+    p.add_argument("--cutmix", type=float, default=1.0)
+    p.add_argument("--mixup-prob", dest="mixup_prob", type=float, default=1.0)
+    p.add_argument("--mixup-switch-prob", dest="mixup_switch_prob",
+                   type=float, default=0.5)
+    p.add_argument("--enable_mixup", type=str2bool, default=False)
+    # data / run (ref: main.py:173-206)
+    p.add_argument("--finetune", default="")
+    p.add_argument("--data_set", default="CUB2011U")
+    p.add_argument("--data_path", type=str,
+                   default="./datasets/cub200_cropped/")
+    p.add_argument("--output_dir", default="output/")
+    p.add_argument("--seed", default=1028, type=int)
+    p.add_argument("--resume", default="")
+    p.add_argument("--start_epoch", default=0, type=int)
+    p.add_argument("--eval", action="store_true")
+    p.add_argument("--num_workers", default=10, type=int)
+    p.add_argument("--pretrained_ckpt", default="",
+                   help=".pth with timm backbone weights to convert+load")
+    p.add_argument("--compute_dtype", default="bfloat16",
+                   choices=["bfloat16", "float32"])
+    return p
+
+
+def config_from_args(args) -> "ExperimentConfig":
+    from protopformer_tpu.core.config import (
+        DataConfig,
+        ExperimentConfig,
+        OptimConfig,
+        PPNetConfig,
+        TrainConfig,
+        backbone_preset,
+    )
+    from protopformer_tpu.data.datasets import NUM_CLASSES
+
+    backbone = backbone_preset(
+        args.base_architecture,
+        img_size=args.img_size,
+        drop_rate=args.drop,
+        drop_path_rate=args.drop_path,
+    )
+    num_classes = NUM_CLASSES.get(args.data_set, 200)
+    ppnet = PPNetConfig(
+        prototype_shape=tuple(args.prototype_shape),
+        num_classes=num_classes,
+        reserve_layers=tuple(args.reserve_layers),
+        reserve_token_nums=tuple(args.reserve_token_nums),
+        use_global=args.use_global,
+        use_ppc_loss=args.use_ppc_loss,
+        ppc_cov_thresh=args.ppc_cov_thresh,
+        ppc_mean_thresh=args.ppc_mean_thresh,
+        global_coe=args.global_coe,
+        global_proto_per_class=args.global_proto_per_class,
+        prototype_activation_function=args.prototype_activation_function,
+        add_on_layers_type=args.add_on_layers_type,
+        ppc_cov_coe=args.ppc_cov_coe,
+        ppc_mean_coe=args.ppc_mean_coe,
+    )
+    optim = OptimConfig(
+        opt=args.opt,
+        opt_eps=args.opt_eps,
+        momentum=args.momentum,
+        weight_decay=args.weight_decay,
+        clip_grad=args.clip_grad,
+        features_lr=args.features_lr,
+        add_on_layers_lr=args.add_on_layers_lr,
+        prototype_vectors_lr=args.prototype_vectors_lr,
+        sched=args.sched,
+        epochs=args.epochs,
+        warmup_epochs=args.warmup_epochs,
+        warmup_lr=args.warmup_lr,
+        min_lr=args.min_lr,
+        decay_epochs=args.decay_epochs,
+        decay_rate=args.decay_rate,
+        cooldown_epochs=args.cooldown_epochs,
+        model_ema=args.model_ema,
+        model_ema_decay=args.model_ema_decay,
+    )
+    data = DataConfig(
+        data_set=args.data_set,
+        data_path=args.data_path,
+        input_size=args.input_size,
+        batch_size=args.batch_size,
+        color_jitter=args.color_jitter,
+        aa=args.aa,
+        smoothing=args.smoothing,
+        enable_smoothing=args.enable_smoothing,
+        reprob=args.reprob,
+        mixup=args.mixup,
+        cutmix=args.cutmix,
+        enable_mixup=args.enable_mixup,
+        num_workers=args.num_workers,
+    )
+    train = TrainConfig(
+        seed=args.seed,
+        output_dir=args.output_dir,
+        resume=args.resume,
+        start_epoch=args.start_epoch,
+        eval_only=args.eval,
+        save_ep_freq=args.save_ep_freq,
+        compute_dtype=args.compute_dtype,
+    )
+    return ExperimentConfig(
+        backbone=backbone, ppnet=ppnet, optim=optim, data=data, train=train
+    )
+
+
+def main(args) -> dict:
+    import jax
+    import jax.numpy as jnp
+
+    from protopformer_tpu.checkpoint.manager import CheckpointManager
+    from protopformer_tpu.checkpoint.torch_convert import (
+        convert_deit_state_dict,
+        convert_cait_state_dict,
+        load_torch_checkpoint,
+    )
+    from protopformer_tpu.data import (
+        HostDataLoader,
+        build_dataset_index,
+        build_eval_transform,
+        build_train_transform,
+        normalize_images,
+    )
+    from protopformer_tpu.models import construct_ppnet
+    from protopformer_tpu.parallel import make_mesh
+    from protopformer_tpu.train import (
+        create_train_state,
+        make_eval_step,
+        make_optimizer,
+        make_train_step,
+    )
+    from protopformer_tpu.train.loop import evaluate, train_one_epoch
+    from protopformer_tpu.utils import MetricWriter, get_logger, set_seed
+
+    cfg = config_from_args(args)
+    out_dir = cfg.train.output_dir
+    logger = get_logger("train", os.path.join(out_dir, "train-logs"))
+    writer = MetricWriter(out_dir)
+    rng = set_seed(cfg.train.seed)
+    mesh = make_mesh()
+    logger.info(f"devices: {jax.devices()}  mesh: {mesh}")
+
+    compute_dtype = (
+        jnp.bfloat16 if cfg.train.compute_dtype == "bfloat16" else jnp.float32
+    )
+    model = construct_ppnet(cfg.backbone, cfg.ppnet, compute_dtype)
+
+    # data
+    train_index = build_dataset_index(cfg.data.data_set, cfg.data.data_path,
+                                      train=True)
+    val_index = build_dataset_index(cfg.data.data_set, cfg.data.data_path,
+                                    train=False)
+    img_size = cfg.backbone.img_size
+    train_tf = build_train_transform(
+        img_size, cfg.data.color_jitter, cfg.data.aa, cfg.data.reprob
+    )
+    eval_tf = build_eval_transform(img_size)
+    train_loader = HostDataLoader(
+        train_index, train_tf, cfg.data.batch_size, shuffle=True,
+        seed=cfg.train.seed, drop_last=True,
+        num_workers=cfg.data.num_workers, mesh=mesh,
+    )
+    # val batch = 1.5x train batch (ref: main.py:312)
+    val_loader = HostDataLoader(
+        val_index, eval_tf, int(1.5 * cfg.data.batch_size), shuffle=False,
+        seed=cfg.train.seed, num_workers=cfg.data.num_workers, mesh=mesh,
+    )
+    logger.info(
+        f"train: {len(train_index)} samples / val: {len(val_index)} samples"
+    )
+
+    # model init (+ pretrained backbone)
+    params = model.init(
+        rng, jnp.zeros((1, img_size, img_size, 3))
+    )["params"]
+    if args.pretrained_ckpt:
+        sd = load_torch_checkpoint(args.pretrained_ckpt)
+        conv = (
+            convert_deit_state_dict(sd, cfg.backbone.depth,
+                                    cfg.backbone.num_patches)
+            if cfg.backbone.arch == "deit"
+            else convert_cait_state_dict(sd, cfg.backbone.depth,
+                                         cfg.backbone.depth_token_only)
+        )
+        params = dict(params)
+        params["features"] = conv
+        logger.info(f"loaded pretrained backbone from {args.pretrained_ckpt}")
+
+    steps_per_epoch = len(train_loader)
+    tx = make_optimizer(cfg.optim, params, steps_per_epoch)
+    state = create_train_state(params, tx, with_ema=cfg.optim.model_ema)
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    state = jax.device_put(state, NamedSharding(mesh, P()))
+
+    smoothing = cfg.data.smoothing if cfg.data.enable_smoothing else 0.0
+    train_step = make_train_step(model, cfg.ppnet, cfg.optim,
+                                 smoothing=smoothing, mesh=mesh)
+    eval_step = make_eval_step(model, cfg.ppnet.use_global, mesh=mesh)
+
+    ckpt_mgr = CheckpointManager(os.path.join(out_dir, "checkpoints"))
+    start_epoch = cfg.train.start_epoch
+    if cfg.train.resume:
+        state, meta = ckpt_mgr.restore(state)
+        start_epoch = int(meta.get("epoch", -1)) + 1
+        logger.info(f"resumed from epoch {start_epoch - 1}")
+
+    if cfg.train.eval_only:
+        stats = evaluate(eval_step, state.params, val_loader, logger,
+                         cfg.ppnet.use_global)
+        print(json.dumps(stats))
+        return stats
+
+    best_acc = 0.0
+    global_iter = 0
+    step_rng = jax.random.fold_in(rng, 17)
+    for epoch in range(start_epoch, cfg.optim.epochs):
+        t0 = time.time()
+        state, train_stats, global_iter = train_one_epoch(
+            train_step, state, train_loader, epoch, step_rng, cfg,
+            writer, logger, global_iter,
+        )
+        val_stats = evaluate(eval_step, state.params, val_loader, logger,
+                             cfg.ppnet.use_global)
+        writer.write(epoch, {
+            "epoch/train_loss": train_stats.get("loss", 0.0),
+            "epoch/val_acc1": val_stats["acc1"],
+            "epoch/val_acc5": val_stats["acc5"],
+            "epoch/val_loss": val_stats["loss"],
+            **({"epoch/val_global_acc1": val_stats["global_acc1"],
+                "epoch/val_local_acc1": val_stats["local_acc1"]}
+               if "global_acc1" in val_stats else {}),
+        })
+        if (epoch + 1) % cfg.train.save_ep_freq == 0:
+            ckpt_mgr.save(epoch, state, {"val_acc1": val_stats["acc1"]})
+        if val_stats["acc1"] > best_acc:
+            best_acc = val_stats["acc1"]
+            ckpt_mgr.save(epoch, state, {"val_acc1": val_stats["acc1"],
+                                         "best": True})
+        logger.info(
+            f"epoch {epoch} done in {time.time() - t0:.1f}s "
+            f"acc1={val_stats['acc1']:.3f} best={best_acc:.3f}"
+        )
+    writer.close()
+    return {"best_acc1": best_acc}
+
+
+if __name__ == "__main__":
+    parser = argparse.ArgumentParser(
+        "ProtoPFormer-TPU", parents=[get_args_parser()]
+    )
+    main(parser.parse_args())

@@ -1,0 +1,241 @@
+"""PyTorch (timm) checkpoint -> JAX pytree conversion.
+
+The reference fine-tunes from FB-hosted timm DeiT/CaiT checkpoints
+(ref: tools/deit_models_attn.py:292-296, tools/cait_models_attn.py:22-31,
+348-354) and saves its own ``{model, optimizer, ...}`` dicts
+(ref: main.py:439-447). This module maps those state dicts onto the Flax
+parameter trees of ``models.deit.DeiTBackbone`` / ``models.cait.CaiTBackbone``
+/ ``models.ppnet.PPNet`` with exact transposition conventions:
+
+  torch Linear weight (out, in)      -> flax Dense kernel (in, out)  [.T]
+  torch Conv2d weight (out, in, h, w)-> flax Conv kernel (h, w, in, out)
+  torch LayerNorm weight/bias        -> flax scale/bias
+  prototype (P, C, 1, 1)             -> (P, C)
+  frozen head Linear weight (cls, P) -> (P, cls)  [.T]
+
+Loading uses ``torch.load`` only to deserialize; all math is numpy. torch is
+an optional dependency of this module alone — the training path never
+imports it.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any, Dict, Mapping, Optional
+
+import numpy as np
+
+Array = np.ndarray
+Tree = Dict[str, Any]
+
+
+def _t(x) -> Array:
+    arr = np.asarray(x, dtype=np.float32)
+    return arr
+
+
+def _linear(sd: Mapping[str, Any], prefix: str, bias: bool = True) -> Tree:
+    out = {"kernel": _t(sd[f"{prefix}.weight"]).T}
+    if bias and f"{prefix}.bias" in sd:
+        out["bias"] = _t(sd[f"{prefix}.bias"])
+    return out
+
+
+def _layernorm(sd: Mapping[str, Any], prefix: str) -> Tree:
+    return {"scale": _t(sd[f"{prefix}.weight"]), "bias": _t(sd[f"{prefix}.bias"])}
+
+
+def _patch_embed(sd: Mapping[str, Any], prefix: str = "patch_embed.proj") -> Tree:
+    w = _t(sd[f"{prefix}.weight"])  # (D, C, p, p)
+    return {
+        "proj": {
+            "kernel": w.transpose(2, 3, 1, 0),  # (p, p, C, D)
+            "bias": _t(sd[f"{prefix}.bias"]),
+        }
+    }
+
+
+def load_torch_checkpoint(path: str) -> Dict[str, Array]:
+    """Deserialize a ``.pth`` file to a flat numpy state dict.
+
+    Handles the reference's wrapping conventions: a top-level ``model`` key
+    (timm checkpoints + the reference's own saves, main.py:439-441) and
+    ``module.``-prefixed keys from DataParallel
+    (ref: tools/cait_models_attn.py:348-354).
+    """
+    import torch
+
+    obj = torch.load(path, map_location="cpu", weights_only=False)
+    if isinstance(obj, dict) and "model" in obj and isinstance(obj["model"], dict):
+        obj = obj["model"]
+    out = {}
+    for k, v in obj.items():
+        if hasattr(v, "numpy"):
+            out[k.replace("module.", "")] = v.detach().cpu().numpy()
+    return out
+
+
+def resize_pos_embed(
+    pos_embed: Array, new_num_patches: int, num_prefix_tokens: int = 1
+) -> Array:
+    """Bicubic positional-embedding resize for input-size changes
+    (ref: tools/deit_features.py:40-58 — dead code there, live here).
+
+    Args:
+      pos_embed: (1, prefix + N, D).
+      new_num_patches: target patch count (must be a square).
+    """
+    prefix, grid = pos_embed[:, :num_prefix_tokens], pos_embed[0, num_prefix_tokens:]
+    n_old = grid.shape[0]
+    g_old = int(round(n_old ** 0.5))
+    g_new = int(round(new_num_patches ** 0.5))
+    if g_old == g_new:
+        return pos_embed
+    import jax
+    import jax.numpy as jnp
+
+    grid = grid.reshape(g_old, g_old, -1)
+    resized = jax.image.resize(
+        jnp.asarray(grid), (g_new, g_new, grid.shape[-1]), method="bicubic"
+    )
+    resized = np.asarray(resized).reshape(1, g_new * g_new, -1)
+    return np.concatenate([prefix, resized], axis=1)
+
+
+def convert_deit_state_dict(
+    sd: Mapping[str, Any], depth: int, num_patches: Optional[int] = None
+) -> Tree:
+    """timm DeiT/ViT state dict -> DeiTBackbone params tree.
+
+    Ignores classifier heads (the reference deletes ``head`` —
+    deit_models_attn.py:97 — and loads with strict=False).
+    """
+    pos_embed = _t(sd["pos_embed"])
+    if num_patches is not None:
+        pos_embed = resize_pos_embed(pos_embed, num_patches)
+    params: Tree = {
+        "cls_token": _t(sd["cls_token"]),
+        "pos_embed": pos_embed,
+        "patch_embed": _patch_embed(sd),
+        "norm": _layernorm(sd, "norm"),
+    }
+    for i in range(depth):
+        p = f"blocks.{i}"
+        params[f"blocks_{i}"] = {
+            "norm1": _layernorm(sd, f"{p}.norm1"),
+            "norm2": _layernorm(sd, f"{p}.norm2"),
+            "attn": {
+                "qkv": _linear(sd, f"{p}.attn.qkv"),
+                "proj": _linear(sd, f"{p}.attn.proj"),
+            },
+            "mlp": {
+                "fc1": _linear(sd, f"{p}.mlp.fc1"),
+                "fc2": _linear(sd, f"{p}.mlp.fc2"),
+            },
+        }
+    return params
+
+
+def convert_cait_state_dict(
+    sd: Mapping[str, Any], depth: int, depth_token_only: int = 2
+) -> Tree:
+    """timm CaiT state dict -> CaiTBackbone params tree.
+
+    CaiT specifics: per-block LayerScale gammas, talking-head ``proj_l`` /
+    ``proj_w``, and separate q/k/v in the class-attention blocks
+    (ref: tools/cait_models_attn.py:34-132)."""
+    params: Tree = {
+        "cls_token": _t(sd["cls_token"]),
+        "pos_embed": _t(sd["pos_embed"]),
+        "patch_embed": _patch_embed(sd),
+        "norm": _layernorm(sd, "norm"),
+    }
+    for i in range(depth):
+        p = f"blocks.{i}"
+        params[f"blocks_{i}"] = {
+            "gamma_1": _t(sd[f"{p}.gamma_1"]),
+            "gamma_2": _t(sd[f"{p}.gamma_2"]),
+            "norm1": _layernorm(sd, f"{p}.norm1"),
+            "norm2": _layernorm(sd, f"{p}.norm2"),
+            "attn": {
+                "qkv": _linear(sd, f"{p}.attn.qkv"),
+                "proj": _linear(sd, f"{p}.attn.proj"),
+                "proj_l": _linear(sd, f"{p}.attn.proj_l"),
+                "proj_w": _linear(sd, f"{p}.attn.proj_w"),
+            },
+            "mlp": {
+                "fc1": _linear(sd, f"{p}.mlp.fc1"),
+                "fc2": _linear(sd, f"{p}.mlp.fc2"),
+            },
+        }
+    for i in range(depth_token_only):
+        p = f"blocks_token_only.{i}"
+        params[f"blocks_token_only_{i}"] = {
+            "gamma_1": _t(sd[f"{p}.gamma_1"]),
+            "gamma_2": _t(sd[f"{p}.gamma_2"]),
+            "norm1": _layernorm(sd, f"{p}.norm1"),
+            "norm2": _layernorm(sd, f"{p}.norm2"),
+            "attn": {
+                "q": _linear(sd, f"{p}.attn.q"),
+                "k": _linear(sd, f"{p}.attn.k"),
+                "v": _linear(sd, f"{p}.attn.v"),
+                "proj": _linear(sd, f"{p}.attn.proj"),
+            },
+            "mlp": {
+                "fc1": _linear(sd, f"{p}.mlp.fc1"),
+                "fc2": _linear(sd, f"{p}.mlp.fc2"),
+            },
+        }
+    return params
+
+
+def convert_ppnet_state_dict(
+    sd: Mapping[str, Any],
+    arch: str,
+    depth: int,
+    depth_token_only: int = 2,
+    use_global: bool = True,
+) -> Tree:
+    """Reference PPNet checkpoint -> PPNet params tree.
+
+    Reference key layout (protopformer.py:76-131): backbone under
+    ``features.``, ``add_on_layers.{i}`` 1x1 convs, ``prototype_vectors``
+    (P, C, 1, 1), frozen ``last_layer.weight`` (cls, P).
+    """
+    feat_sd = {
+        k[len("features."):]: v for k, v in sd.items() if k.startswith("features.")
+    }
+    if arch == "deit":
+        features = convert_deit_state_dict(feat_sd, depth)
+    elif arch == "cait":
+        features = convert_cait_state_dict(feat_sd, depth, depth_token_only)
+    else:
+        raise ValueError(arch)
+
+    add_on: Tree = {}
+    conv_idxs = sorted(
+        {
+            int(m.group(1))
+            for k in sd
+            if (m := re.match(r"add_on_layers\.(\d+)\.weight", k))
+        }
+    )
+    for j, i in enumerate(conv_idxs):
+        w = _t(sd[f"add_on_layers.{i}.weight"])  # (out, in, 1, 1)
+        add_on[f"layers_{j}"] = {
+            "kernel": w[:, :, 0, 0].T,
+            "bias": _t(sd[f"add_on_layers.{i}.bias"]),
+        }
+
+    params: Tree = {
+        "features": features,
+        "add_on_layers": add_on,
+        "prototype_vectors": _t(sd["prototype_vectors"])[:, :, 0, 0],
+        "last_layer_w": _t(sd["last_layer.weight"]).T,
+    }
+    if use_global and "prototype_vectors_global" in sd:
+        params["prototype_vectors_global"] = _t(
+            sd["prototype_vectors_global"]
+        )[:, :, 0, 0]
+        params["last_layer_global_w"] = _t(sd["last_layer_global.weight"]).T
+    return params

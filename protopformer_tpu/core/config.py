@@ -44,6 +44,10 @@ class BackboneConfig:
     depth_token_only: int = 2  # class-attention blocks (ref: cait_models_attn.py:202)
     init_scale: float = 1e-5  # LayerScale init (ref: cait_models_attn.py:373)
     mlp_ratio_token_only: float = 4.0
+    # attention-rollout knobs (ref: deit_models_attn.py:99 defaults)
+    rollout_discard_ratio: float = 0.9
+    rollout_identity_weight: float = 0.2
+    rollout_head_fusion: str = "mean"
 
     @property
     def num_patches(self) -> int:

@@ -30,9 +30,8 @@ from protopformer_tpu.models.layers import (
 )
 from protopformer_tpu.ops.rollout import (
     _fuse_heads,
-    identity_rollout,
     normalize_attention_map,
-    rollout_step,
+    rollout_row_scores,
 )
 from protopformer_tpu.ops.tokens import reserve_policy
 
@@ -135,11 +134,25 @@ class CaiTBackbone(nn.Module):
         reserve_map = dict(reserve_layer_nums)
         assert min(layer_ids) >= 1, "CaiT reserve layer must be >= 1"
 
+        # TPU redesign: only a single row of the SA rollout product is used
+        # (the averaged CA row times the product — cait_models_attn.py:259),
+        # so collect the normalized maps and contract with that row in
+        # reverse order (O(B*N^2)/layer) instead of the reference's
+        # O(B*N^3)/layer matrix product.
         x = x_embed
-        sa_rollout = identity_rollout(B, patch_num)
+        sa_norm_maps = []
         for blk in self.blocks:
             x, attn = blk(x, deterministic)
-            sa_rollout = rollout_step(sa_rollout, jax.lax.stop_gradient(attn))
+            sa_norm_maps.append(
+                normalize_attention_map(
+                    _fuse_heads(
+                        jax.lax.stop_gradient(attn).astype(jnp.float32),
+                        self.config.rollout_head_fusion,
+                    ),
+                    discard_ratio=self.config.rollout_discard_ratio,
+                    identity_weight=self.config.rollout_identity_weight,
+                )
+            )
 
         cls_tokens = cls_embed
         policy = jnp.ones((B, seq_len), dtype=jnp.float32)
@@ -152,9 +165,8 @@ class CaiTBackbone(nn.Module):
                 # times the SA rollout (ref: attn_rollout_cait,
                 # cait_models_attn.py:250-259)
                 cls_mean = jax.lax.stop_gradient(ca_norm_sum) / i
-                cls_scores = jnp.matmul(
-                    cls_mean[:, :, 1:], sa_rollout,
-                    precision=jax.lax.Precision.HIGHEST,
+                cls_scores = rollout_row_scores(
+                    sa_norm_maps, cls_mean[:, :, 1:]
                 )
                 cls_token_attn = cls_scores[:, 0]
                 policy, _ = reserve_policy(
@@ -163,7 +175,9 @@ class CaiTBackbone(nn.Module):
             cls_tokens, attn = blk(x, cls_tokens, policy, deterministic)
             ca_norm_sum = ca_norm_sum + normalize_attention_map(
                 _fuse_heads(jax.lax.stop_gradient(attn).astype(jnp.float32),
-                            "mean")
+                            self.config.rollout_head_fusion),
+                discard_ratio=self.config.rollout_discard_ratio,
+                identity_weight=self.config.rollout_identity_weight,
             )
 
         x = jnp.concatenate([cls_tokens, x], axis=1)

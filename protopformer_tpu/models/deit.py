@@ -26,7 +26,11 @@ from flax import linen as nn
 
 from protopformer_tpu.core.config import BackboneConfig
 from protopformer_tpu.models.layers import Block, PatchEmbed
-from protopformer_tpu.ops.rollout import identity_rollout, rollout_step
+from protopformer_tpu.ops.rollout import (
+    _fuse_heads,
+    normalize_attention_map,
+    rollout_row_scores,
+)
 from protopformer_tpu.ops.tokens import reserve_policy
 
 
@@ -113,10 +117,16 @@ class DeiTBackbone(nn.Module):
         """Token-pruning forward (ref: forward_feature_mask_train_direct,
         deit_models_attn.py:209-240).
 
-        At each reserve layer the rollout accumulated so far (blocks 0..i-1)
-        is frozen (stop_gradient), its CLS row ranks the patches, the top-k
-        become the keep-policy, and the remaining blocks run with the masked
-        softmax.
+        At each reserve layer the rollout over blocks 0..i-1 (stop_gradient,
+        matching the reference's detach) ranks the patches by its CLS row;
+        the top-k become the keep-policy and the remaining blocks run with
+        the masked softmax.
+
+        TPU redesign: only the CLS ROW of the rollout product is ever used,
+        so instead of the reference's running (N, N) matrix product this
+        collects the per-layer normalized maps and contracts them with a
+        one-hot CLS row in reverse order (ops.rollout.rollout_row_scores) —
+        O(B*N^2) per layer instead of O(B*N^3).
 
         Returns:
           (x (B, 1+N, D) after the final LayerNorm,
@@ -125,24 +135,34 @@ class DeiTBackbone(nn.Module):
         """
         B, patch_num, _ = x_embed.shape
         seq_len = 1 + patch_num
-        layer_ids = [l for l, _ in reserve_layer_nums]
         reserve_map = dict(reserve_layer_nums)
-        last_prune = max(layer_ids)
+        last_prune = max(reserve_map)
 
         x = jnp.concatenate([cls_embed, x_embed], axis=1)
         policy = jnp.ones((B, seq_len), dtype=jnp.float32)
-        rollout = identity_rollout(B, seq_len)
+        cls_row = jnp.zeros((B, 1, seq_len), jnp.float32).at[:, 0, 0].set(1.0)
+        norm_maps = []
         cls_token_attn = None
 
         for i, blk in enumerate(self.blocks):
             if i in reserve_map:
-                cls_token_attn = jax.lax.stop_gradient(rollout[:, 0, 1:])
+                scores = rollout_row_scores(norm_maps, cls_row)
+                cls_token_attn = scores[:, 0, 1:]
                 policy, _ = reserve_policy(
                     cls_token_attn, reserve_map[i], seq_len
                 )
             x, attn = blk(x, policy, deterministic)
             if i < last_prune:
-                rollout = rollout_step(rollout, jax.lax.stop_gradient(attn))
+                norm_maps.append(
+                    normalize_attention_map(
+                        _fuse_heads(
+                            jax.lax.stop_gradient(attn).astype(jnp.float32),
+                            self.config.rollout_head_fusion,
+                        ),
+                        discard_ratio=self.config.rollout_discard_ratio,
+                        identity_weight=self.config.rollout_identity_weight,
+                    )
+                )
 
         x = self.norm(x)
         return x, cls_token_attn

@@ -59,6 +59,7 @@ class PatchEmbed(nn.Module):
             padding="VALID",
             dtype=self.dtype,
             param_dtype=jnp.float32,
+            precision=_matmul_precision(self.dtype),
             name="proj",
         )(x)
         B, gh, gw, D = x.shape
@@ -76,11 +77,11 @@ class Mlp(nn.Module):
     @nn.compact
     def __call__(self, x: jax.Array, deterministic: bool = True) -> jax.Array:
         x = nn.Dense(self.hidden_dim, dtype=self.dtype, param_dtype=jnp.float32,
-                     name="fc1")(x)
+                     precision=_matmul_precision(self.dtype), name="fc1")(x)
         x = jax.nn.gelu(x, approximate=False)
         x = nn.Dropout(self.drop_rate)(x, deterministic=deterministic)
         x = nn.Dense(self.out_dim, dtype=self.dtype, param_dtype=jnp.float32,
-                     name="fc2")(x)
+                     precision=_matmul_precision(self.dtype), name="fc2")(x)
         x = nn.Dropout(self.drop_rate)(x, deterministic=deterministic)
         return x
 
@@ -131,7 +132,7 @@ class Attention(nn.Module):
 
         qkv = nn.Dense(
             3 * C, use_bias=self.qkv_bias, dtype=self.dtype,
-            param_dtype=jnp.float32, name="qkv",
+            param_dtype=jnp.float32, precision=prec, name="qkv",
         )(x)
         qkv = qkv.reshape(B, N, 3, H, hd).transpose(2, 0, 3, 1, 4)
         q, k, v = qkv[0], qkv[1], qkv[2]
@@ -149,7 +150,7 @@ class Attention(nn.Module):
         out = jnp.einsum("bhnm,bhmd->bhnd", probs, v, precision=prec)
         out = out.transpose(0, 2, 1, 3).reshape(B, N, C)
         out = nn.Dense(C, dtype=self.dtype, param_dtype=jnp.float32,
-                       name="proj")(out)
+                       precision=prec, name="proj")(out)
         out = nn.Dropout(self.proj_drop)(out, deterministic=deterministic)
         return out, probs
 
@@ -217,7 +218,7 @@ class TalkingHeadAttention(nn.Module):
         prec = _matmul_precision(self.dtype)
 
         qkv = nn.Dense(3 * C, use_bias=self.qkv_bias, dtype=self.dtype,
-                       param_dtype=jnp.float32, name="qkv")(x)
+                       param_dtype=jnp.float32, precision=prec, name="qkv")(x)
         qkv = qkv.reshape(B, N, 3, H, hd).transpose(2, 0, 3, 1, 4)
         # NOTE: CaiT scales q BEFORE the matmul (cait_models_attn.py:118)
         q, k, v = qkv[0] * (hd ** -0.5), qkv[1], qkv[2]
@@ -225,19 +226,21 @@ class TalkingHeadAttention(nn.Module):
         logits = jnp.einsum("bhnd,bhmd->bhnm", q, k, precision=prec)
         # talking heads: mix along H pre-softmax (proj_l) and post (proj_w)
         logits = nn.DenseGeneral(
-            H, axis=-1, dtype=self.dtype, param_dtype=jnp.float32, name="proj_l",
+            H, axis=-1, dtype=self.dtype, param_dtype=jnp.float32,
+            precision=prec, name="proj_l",
         )(logits.transpose(0, 2, 3, 1)).transpose(0, 3, 1, 2)
         probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
         probs = probs.astype(self.dtype)
         probs = nn.DenseGeneral(
-            H, axis=-1, dtype=self.dtype, param_dtype=jnp.float32, name="proj_w",
+            H, axis=-1, dtype=self.dtype, param_dtype=jnp.float32,
+            precision=prec, name="proj_w",
         )(probs.transpose(0, 2, 3, 1)).transpose(0, 3, 1, 2)
         probs = nn.Dropout(self.attn_drop)(probs, deterministic=deterministic)
 
         out = jnp.einsum("bhnm,bhmd->bhnd", probs, v, precision=prec)
         out = out.transpose(0, 2, 1, 3).reshape(B, N, C)
         out = nn.Dense(C, dtype=self.dtype, param_dtype=jnp.float32,
-                       name="proj")(out)
+                       precision=prec, name="proj")(out)
         out = nn.Dropout(self.proj_drop)(out, deterministic=deterministic)
         return out, probs
 
@@ -266,12 +269,11 @@ class ClassAttention(nn.Module):
 
         dense = lambda name: nn.Dense(  # noqa: E731
             C, use_bias=self.qkv_bias, dtype=self.dtype,
-            param_dtype=jnp.float32, name=name,
+            param_dtype=jnp.float32, precision=prec, name=name,
         )
         q = dense("q")(x[:, :1]).reshape(B, 1, H, hd).transpose(0, 2, 1, 3)
         k = dense("k")(x).reshape(B, N, H, hd).transpose(0, 2, 1, 3)
-        v = nn.Dense(C, use_bias=self.qkv_bias, dtype=self.dtype,
-                     param_dtype=jnp.float32, name="v")(x)
+        v = dense("v")(x)
         v = v.reshape(B, N, H, hd).transpose(0, 2, 1, 3)
 
         q = q * (hd ** -0.5)
@@ -286,7 +288,7 @@ class ClassAttention(nn.Module):
         out = jnp.einsum("bhnm,bhmd->bhnd", probs, v, precision=prec)
         out = out.transpose(0, 2, 1, 3).reshape(B, 1, C)
         out = nn.Dense(C, dtype=self.dtype, param_dtype=jnp.float32,
-                       name="proj")(out)
+                       precision=prec, name="proj")(out)
         out = nn.Dropout(self.proj_drop)(out, deterministic=deterministic)
         return out, probs
 

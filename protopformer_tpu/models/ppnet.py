@@ -99,10 +99,15 @@ class AddOnLayers(nn.Module):
     @nn.compact
     def __call__(self, tokens: jax.Array) -> jax.Array:
         kaiming = nn.initializers.variance_scaling(2.0, "fan_out", "normal")
+        prec = (
+            jax.lax.Precision.HIGHEST
+            if self.dtype == jnp.float32
+            else jax.lax.Precision.DEFAULT
+        )
         if self.kind == "regular":
             h = nn.Dense(
                 self.proto_dim, dtype=self.dtype, param_dtype=jnp.float32,
-                kernel_init=kaiming, name="layers_0",
+                precision=prec, kernel_init=kaiming, name="layers_0",
             )(tokens)
             return jax.nn.sigmoid(h.astype(jnp.float32))
         if self.kind == "bottleneck":
@@ -112,10 +117,12 @@ class AddOnLayers(nn.Module):
             while current > self.proto_dim or idx == 0:
                 out = max(self.proto_dim, current // 2)
                 h = nn.Dense(out, dtype=self.dtype, param_dtype=jnp.float32,
-                             kernel_init=kaiming, name=f"layers_{idx}")(h)
+                             precision=prec, kernel_init=kaiming,
+                             name=f"layers_{idx}")(h)
                 h = jax.nn.relu(h)
                 h = nn.Dense(out, dtype=self.dtype, param_dtype=jnp.float32,
-                             kernel_init=kaiming, name=f"layers_{idx + 1}")(h)
+                             precision=prec, kernel_init=kaiming,
+                             name=f"layers_{idx + 1}")(h)
                 if out > self.proto_dim:
                     h = jax.nn.relu(h)
                 else:
@@ -310,6 +317,7 @@ class BaseNet(nn.Module):
         )
         self.last_layer = nn.Dense(
             self.num_classes, dtype=jnp.float32, param_dtype=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
             kernel_init=nn.initializers.variance_scaling(2.0, "fan_out", "normal"),
             name="last_layer",
         )

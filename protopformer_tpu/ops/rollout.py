@@ -45,6 +45,45 @@ def _fuse_heads(attn: jax.Array, head_fusion: str) -> jax.Array:
     raise ValueError(f"unknown head_fusion: {head_fusion}")
 
 
+def kth_largest(flat: jax.Array, keep: int) -> jax.Array:
+    """Exact keep-th largest value per row of a NON-NEGATIVE fp32 matrix.
+
+    ``jax.lax.top_k`` over the rollout's flattened (B, N*N) maps is a sort —
+    ~10ms/layer at production shape, the single hottest op in the pruning
+    forward. For non-negative fp32, value order equals int32 bit order, so
+    the k-th order statistic falls out of a 32-step binary search on the bit
+    pattern with one compare+count pass per step (HBM-bound, ~6x faster than
+    the sort; a Pallas row-resident kernel tightens this further).
+
+    Returns the same value as ``jax.lax.top_k(flat, keep)[0][:, -1]``.
+
+    Args:
+      flat: (B, M) fp32, all values >= 0.
+      keep: k (static).
+    Returns:
+      (B,) fp32 k-th largest per row.
+    """
+    bits = jax.lax.bitcast_convert_type(flat, jnp.int32)  # order-preserving
+
+    def feasible(t):
+        # count of elements >= t per row
+        return jnp.sum((bits >= t[:, None]).astype(jnp.int32), axis=-1)
+
+    B = flat.shape[0]
+    lo = jnp.zeros((B,), jnp.int32)
+    hi = jnp.max(bits, axis=-1)
+
+    def body(_, carry):
+        lo, hi = carry
+        mid = lo + (hi - lo + 1) // 2  # round up so lo strictly advances
+        ok = feasible(mid) >= keep
+        return jnp.where(ok, mid, lo), jnp.where(ok, hi, mid - 1)
+
+    # int32 range of non-negative floats is < 2^31; 31 iterations suffice
+    lo, hi = jax.lax.fori_loop(0, 31, body, (lo, hi))
+    return jax.lax.bitcast_convert_type(lo, jnp.float32)
+
+
 def normalize_attention_map(
     attn_fused: jax.Array,
     discard_ratio: float = 0.9,
@@ -64,13 +103,14 @@ def normalize_attention_map(
     """
     B, M, N = attn_fused.shape
     a = attn_fused.astype(jnp.float32)
-    flat = a.reshape(B, M * N)
     keep = M * N - int(M * N * discard_ratio)
-    # torch zeroes the k smallest by index; thresholding on the keep-th
-    # largest value is equivalent up to ties at the threshold.
-    kth = jax.lax.top_k(flat, keep)[0][:, -1]
-    flat = jnp.where(flat >= kth[:, None], flat, 0.0)
-    a = flat.reshape(B, M, N)
+    if keep < M * N:
+        flat = a.reshape(B, M * N)
+        # torch zeroes the k smallest by index; thresholding on the keep-th
+        # largest value is equivalent up to ties at the threshold.
+        kth = kth_largest(flat, keep)
+        flat = jnp.where(flat >= kth[:, None], flat, 0.0)
+        a = flat.reshape(B, M, N)
     # identity is row-truncated for class-attention maps (M < N)
     # (ref: cait_models_attn.py:240-241)
     eye = jnp.eye(N, dtype=jnp.float32)[:M]
@@ -103,6 +143,38 @@ def rollout_step(
 def identity_rollout(batch: int, n: int) -> jax.Array:
     """Initial rollout carry (ref: deit_models_attn.py:100)."""
     return jnp.broadcast_to(jnp.eye(n, dtype=jnp.float32), (batch, n, n))
+
+
+def rollout_row_scores(
+    norm_maps: Sequence[jax.Array],
+    seed_row: jax.Array,
+) -> jax.Array:
+    """Row-slice of the rollout product via reverse vector-matrix products.
+
+    The model consumes only the CLS ROW of the rollout
+    (``rollout[:, 0, 1:]`` — ref: deit_models_attn.py:226), so the full
+    O(B*N^3)-per-layer matrix product the reference computes is wasted work:
+    by associativity,
+
+        e0^T (a_L @ ... @ a_1)  ==  (((e0^T a_L) a_{L-1}) ... a_1),
+
+    a chain of O(B*N^2) vector-matrix products — N x cheaper, and the
+    dominant cost of the whole pruning forward at production shapes
+    (11 layers x 256 x 197^3 fp32 MACs otherwise).
+
+    Args:
+      norm_maps: per-layer (B, N, N) fp32 normalized maps, FORWARD order
+        (layer 0 first) — each already through ``normalize_attention_map``.
+      seed_row: (B, R, N) row(s) to propagate (e.g. one-hot CLS row, or
+        CaiT's averaged class-attention rows).
+
+    Returns:
+      (B, R, N) fp32 == seed_row @ (a_L @ ... @ a_1).
+    """
+    v = seed_row.astype(jnp.float32)
+    for a in reversed(list(norm_maps)):
+        v = jnp.matmul(v, a, precision=jax.lax.Precision.HIGHEST)
+    return v
 
 
 def attn_rollout(

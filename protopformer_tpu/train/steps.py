@@ -1,0 +1,182 @@
+"""jit-compiled train/eval steps.
+
+TPU-native replacement for the reference's per-batch loop body
+(ref: tools/engine_proto.py:24-113,143-185): the entire forward + loss + PPC
++ backward + optimizer update + EMA + metric reduction is ONE compiled XLA
+program over the data-parallel mesh. AMP autocast + GradScaler
+(engine_proto.py:48,76-77) are replaced by bf16 compute / fp32 params, which
+needs no loss scaling.
+
+The PPC loss epoch gate (``epoch >= 20`` — engine_proto.py:63-64) enters as a
+traced scalar ``ppc_gate`` in [0, 1] so flipping it does not recompile.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from protopformer_tpu.core.config import DataConfig, OptimConfig, PPNetConfig
+from protopformer_tpu.ops.ppc import ppc_loss
+from protopformer_tpu.train.state import TrainState
+
+
+def cross_entropy_loss(
+    logits: jax.Array, labels: jax.Array, smoothing: float = 0.0
+) -> jax.Array:
+    """CE with optional label smoothing; accepts int labels or soft (mixup)
+    label distributions (ref: main.py:320-334 criterion selection)."""
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    n = logits.shape[-1]
+    if labels.ndim == logits.ndim:  # soft labels
+        target = labels.astype(jnp.float32)
+    else:
+        target = jax.nn.one_hot(labels, n, dtype=jnp.float32)
+    if smoothing:
+        target = target * (1.0 - smoothing) + smoothing / n
+    return -jnp.mean(jnp.sum(target * logp, axis=-1))
+
+
+def _hard_labels(labels: jax.Array) -> jax.Array:
+    return jnp.argmax(labels, -1) if labels.ndim == 2 else labels
+
+
+def make_train_step(
+    model,
+    ppnet_cfg: Optional[PPNetConfig],
+    optim_cfg: OptimConfig,
+    smoothing: float = 0.0,
+    mesh: Optional[Mesh] = None,
+    donate: bool = True,
+) -> Callable:
+    """Build the jitted train step.
+
+    Signature of the returned function:
+      (state, batch {'image': (B,H,W,C), 'label': (B,) or (B,cls)},
+       rng, ppc_gate scalar) -> (state, metrics dict)
+
+    With ``mesh`` given, the step is jitted with state/rng replicated and the
+    batch sharded on the data axis; XLA inserts gradient all-reduces.
+    """
+    use_ppc = ppnet_cfg is not None and ppnet_cfg.use_ppc_loss
+    ema_decay = optim_cfg.model_ema_decay if optim_cfg.model_ema else None
+
+    def train_step(state: TrainState, batch, rng, ppc_gate):
+        step_rng = jax.random.fold_in(rng, state.step)
+        drop_rng, dropout_rng = jax.random.split(step_rng)
+
+        def loss_fn(params):
+            out = model.apply(
+                {"params": params}, batch["image"], train=True,
+                rngs={"droppath": drop_rng, "dropout": dropout_rng},
+            )
+            ce = cross_entropy_loss(out.logits, batch["label"], smoothing)
+            metrics = {"ce_loss": ce}
+            loss = ce
+            if use_ppc:
+                B, Pn = out.total_proto_act.shape[:2]
+                cov, mean = ppc_loss(
+                    out.total_proto_act.reshape(B, Pn, -1),
+                    out.cls_attn_rollout,
+                    _hard_labels(batch["label"]),
+                    ppnet_cfg.num_classes,
+                    ppnet_cfg.num_prototypes_per_class,
+                    int(round(out.cls_attn_rollout.shape[-1] ** 0.5)),
+                    ppnet_cfg.ppc_cov_thresh,
+                    ppnet_cfg.ppc_mean_thresh,
+                )
+                cov = ppnet_cfg.ppc_cov_coe * cov
+                mean = ppnet_cfg.ppc_mean_coe * mean
+                # epoch gate as a traced multiplier (no recompile per epoch)
+                loss = loss + ppc_gate * (cov + mean)
+                metrics["ppc_cov_loss"] = cov
+                metrics["ppc_mean_loss"] = mean
+            metrics["loss"] = loss
+            acc = jnp.mean(
+                (jnp.argmax(out.logits, -1) == _hard_labels(batch["label"]))
+                .astype(jnp.float32)
+            )
+            metrics["train_acc1"] = acc * 100.0
+            return loss, metrics
+
+        (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params
+        )
+        new_state = state.apply_gradients(grads, ema_decay)
+        return new_state, metrics
+
+    if mesh is None:
+        return jax.jit(train_step, donate_argnums=(0,) if donate else ())
+
+    repl = NamedSharding(mesh, P())
+    data = NamedSharding(mesh, P("data"))
+    return jax.jit(
+        train_step,
+        in_shardings=(repl, {"image": data, "label": data}, repl, repl),
+        out_shardings=(repl, repl),
+        donate_argnums=(0,) if donate else (),
+    )
+
+
+def make_eval_step(
+    model,
+    use_global: bool = True,
+    mesh: Optional[Mesh] = None,
+) -> Callable:
+    """Build the jitted eval step.
+
+    Returns per-batch sums (correct counts + loss sums) so the host can
+    aggregate exactly over a ragged last batch; mirrors evaluate's acc1/acc5
+    + per-branch accuracy metrics (ref: tools/engine_proto.py:143-185).
+    """
+
+    def eval_step(params, batch):
+        out = model.apply({"params": params}, batch["image"], train=False)
+        labels = batch["label"]
+        valid = batch.get(
+            "valid", jnp.ones(labels.shape[0], dtype=jnp.float32)
+        )
+        logits = out.logits.astype(jnp.float32)
+        loss_per = -jnp.take_along_axis(
+            jax.nn.log_softmax(logits, -1), labels[:, None], 1
+        )[:, 0]
+
+        def topk_correct(lg, k):
+            _, idx = jax.lax.top_k(lg, k)
+            return jnp.sum(
+                jnp.any(idx == labels[:, None], axis=-1).astype(jnp.float32)
+                * valid
+            )
+
+        metrics = {
+            "n": jnp.sum(valid),
+            "loss_sum": jnp.sum(loss_per * valid),
+            "correct1": topk_correct(logits, 1),
+            "correct5": topk_correct(logits, 5),
+        }
+        if use_global and hasattr(out, "logits_global"):
+            metrics["global_correct1"] = topk_correct(
+                out.logits_global.astype(jnp.float32), 1
+            )
+            metrics["local_correct1"] = topk_correct(
+                out.logits_local.astype(jnp.float32), 1
+            )
+        return metrics
+
+    if mesh is None:
+        return jax.jit(eval_step)
+
+    repl = NamedSharding(mesh, P())
+    data = NamedSharding(mesh, P("data"))
+    return jax.jit(
+        eval_step,
+        in_shardings=(
+            repl,
+            {"image": data, "label": data, "valid": data},
+        ),
+        out_shardings=repl,
+    )

@@ -1,0 +1,3 @@
+from protopformer_tpu.utils.metrics import SmoothedValue, MetricLogger
+from protopformer_tpu.utils.logging import get_logger, MetricWriter
+from protopformer_tpu.utils.seeding import set_seed

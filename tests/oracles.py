@@ -27,8 +27,10 @@ def normalize_map_torch(attn_fused, discard_ratio=0.9, identity_weight=0.2):
     """attn_fused (B,M,N) torch float32, already head-fused."""
     B, M, N = attn_fused.shape
     flat = attn_fused.reshape(B, -1).clone()
-    _, idx = flat.topk(int(flat.shape[-1] * discard_ratio), -1, False)
-    flat.scatter_(1, idx, 0)
+    k = int(flat.shape[-1] * discard_ratio)
+    if k > 0:
+        _, idx = flat.topk(k, -1, False)
+        flat.scatter_(1, idx, 0)
     a = flat.reshape(B, M, N)
     eye = torch.eye(N)[:M]
     a = (a + identity_weight * eye) / (1.0 + identity_weight)
