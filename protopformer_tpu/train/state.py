@@ -20,8 +20,8 @@ class TrainState(struct.PyTreeNode):
     step: jnp.ndarray
     params: Any
     opt_state: Any
-    ema_params: Optional[Any] = None
     tx: optax.GradientTransformation = struct.field(pytree_node=False)
+    ema_params: Optional[Any] = None
 
     def apply_gradients(self, grads, ema_decay: Optional[float] = None):
         updates, new_opt_state = self.tx.update(

@@ -146,7 +146,7 @@ def make_eval_step(
         )[:, 0]
 
         def topk_correct(lg, k):
-            _, idx = jax.lax.top_k(lg, k)
+            _, idx = jax.lax.top_k(lg, min(k, lg.shape[-1]))
             return jnp.sum(
                 jnp.any(idx == labels[:, None], axis=-1).astype(jnp.float32)
                 * valid
