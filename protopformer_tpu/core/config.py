@@ -48,6 +48,8 @@ class BackboneConfig:
     rollout_discard_ratio: float = 0.9
     rollout_identity_weight: float = 0.2
     rollout_head_fusion: str = "mean"
+    # Pallas TPU kernels: "auto" = on TPU backends, "on", "off"
+    use_pallas: str = "auto"
 
     @property
     def num_patches(self) -> int:

@@ -23,6 +23,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from protopformer_tpu.core.config import BackboneConfig
+from protopformer_tpu.models.deit import normalize_block_attention
 from protopformer_tpu.models.layers import (
     LayerScaleBlock,
     LayerScaleBlockClassAttn,
@@ -143,16 +144,7 @@ class CaiTBackbone(nn.Module):
         sa_norm_maps = []
         for blk in self.blocks:
             x, attn = blk(x, deterministic)
-            sa_norm_maps.append(
-                normalize_attention_map(
-                    _fuse_heads(
-                        jax.lax.stop_gradient(attn).astype(jnp.float32),
-                        self.config.rollout_head_fusion,
-                    ),
-                    discard_ratio=self.config.rollout_discard_ratio,
-                    identity_weight=self.config.rollout_identity_weight,
-                )
-            )
+            sa_norm_maps.append(normalize_block_attention(attn, self.config))
 
         cls_tokens = cls_embed
         policy = jnp.ones((B, seq_len), dtype=jnp.float32)

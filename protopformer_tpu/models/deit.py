@@ -34,6 +34,37 @@ from protopformer_tpu.ops.rollout import (
 from protopformer_tpu.ops.tokens import reserve_policy
 
 
+def use_pallas_kernels(config: BackboneConfig) -> bool:
+    """Resolve the Pallas-kernel gate at trace time."""
+    if config.use_pallas == "on":
+        return True
+    if config.use_pallas == "off":
+        return False
+    return jax.default_backend() == "tpu"
+
+
+def normalize_block_attention(
+    attn: jax.Array, config: BackboneConfig
+) -> jax.Array:
+    """One block's (B, H, N, N) probs -> (B, N, N) fp32 normalized rollout
+    map, via the fused Pallas kernel on TPU (mean fusion only) or the
+    pure-JAX ops elsewhere."""
+    attn = jax.lax.stop_gradient(attn)
+    if use_pallas_kernels(config) and config.rollout_head_fusion == "mean":
+        from protopformer_tpu.kernels import fused_normalize_attention_map
+
+        return fused_normalize_attention_map(
+            attn,
+            discard_ratio=config.rollout_discard_ratio,
+            identity_weight=config.rollout_identity_weight,
+        )
+    return normalize_attention_map(
+        _fuse_heads(attn.astype(jnp.float32), config.rollout_head_fusion),
+        discard_ratio=config.rollout_discard_ratio,
+        identity_weight=config.rollout_identity_weight,
+    )
+
+
 class DeiTBackbone(nn.Module):
     """DeiT/ViT encoder with attention taps and token pruning."""
 
@@ -153,16 +184,7 @@ class DeiTBackbone(nn.Module):
                 )
             x, attn = blk(x, policy, deterministic)
             if i < last_prune:
-                norm_maps.append(
-                    normalize_attention_map(
-                        _fuse_heads(
-                            jax.lax.stop_gradient(attn).astype(jnp.float32),
-                            self.config.rollout_head_fusion,
-                        ),
-                        discard_ratio=self.config.rollout_discard_ratio,
-                        identity_weight=self.config.rollout_identity_weight,
-                    )
-                )
+                norm_maps.append(normalize_block_attention(attn, self.config))
 
         x = self.norm(x)
         return x, cls_token_attn

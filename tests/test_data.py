@@ -1,0 +1,134 @@
+"""Data layer tests: transforms, loader determinism/padding, mixup, parsers."""
+
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+from PIL import Image
+
+from protopformer_tpu.data import (
+    HostDataLoader,
+    MixupCutmix,
+    build_dataset_index,
+    build_eval_transform,
+    build_train_transform,
+    build_view_transform,
+    normalize_images,
+    unnormalize_images,
+)
+from protopformer_tpu.data.datasets import build_cub_index
+from protopformer_tpu.data.local_parts import in_bbox, load_cub_parts
+
+
+def test_eval_transform_geometry():
+    t = build_eval_transform(224)
+    img = Image.new("RGB", (500, 400), (255, 0, 0))
+    out = t(img)
+    assert out.shape == (224, 224, 3)
+    assert out.dtype == np.float32
+    assert 0.99 <= out[..., 0].max() <= 1.0 and out[..., 1].max() == 0.0
+
+
+def test_train_transform_shapes_and_determinism():
+    t = build_train_transform(64)
+    rng_img = np.random.default_rng(0)
+    img = rng_img.integers(0, 255, size=(100, 80, 3)).astype(np.uint8)
+    a = t(img, np.random.default_rng(42))
+    b = t(img, np.random.default_rng(42))
+    c = t(img, np.random.default_rng(43))
+    assert a.shape == (64, 64, 3)
+    np.testing.assert_array_equal(a, b)  # same seed -> same augmentation
+    assert not np.array_equal(a, c)
+
+
+def test_view_transform_uint8():
+    t = build_view_transform(32)
+    img = Image.new("RGB", (64, 48), (10, 200, 30))
+    out = t(img)
+    assert out.dtype == np.uint8 and out.shape == (32, 32, 3)
+
+
+def test_normalize_roundtrip():
+    x = jnp.asarray(np.random.default_rng(0).uniform(size=(2, 4, 4, 3)),
+                    jnp.float32)
+    y = unnormalize_images(normalize_images(x))
+    np.testing.assert_allclose(np.asarray(y), np.asarray(x), atol=1e-6)
+
+
+def test_loader_padding_and_epochs():
+    index = build_dataset_index("synthetic", "", train=True,
+                                num_samples=10, num_classes=3, image_size=16)
+    t = lambda img, rng: np.asarray(img, np.float32) / 255.0  # noqa: E731
+    loader = HostDataLoader(index, t, batch_size=4, shuffle=True, seed=7,
+                            num_workers=2)
+    assert len(loader) == 3
+    batches = list(loader)
+    assert len(batches) == 3
+    assert batches[-1]["valid"].sum() == 2  # 10 = 4+4+2
+    assert batches[0]["image"].shape == (4, 16, 16, 3)
+    # epoch changes order; same epoch reproduces it
+    order0 = np.concatenate([b["label"] for b in batches])
+    loader.set_epoch(1)
+    order1 = np.concatenate([b["label"] for b in list(loader)])
+    loader.set_epoch(0)
+    order0b = np.concatenate([b["label"] for b in list(loader)])
+    np.testing.assert_array_equal(order0, order0b)
+    assert not np.array_equal(order0, order1)
+
+
+def test_mixup_soft_labels():
+    mix = MixupCutmix(mixup_alpha=0.8, cutmix_alpha=1.0, num_classes=5)
+    batch = {
+        "image": jnp.asarray(
+            np.random.default_rng(0).uniform(size=(4, 16, 16, 3)), jnp.float32
+        ),
+        "label": jnp.asarray([0, 1, 2, 3]),
+    }
+    out = mix(jax.random.key(0), batch)
+    assert out["label"].shape == (4, 5)
+    np.testing.assert_allclose(np.asarray(out["label"]).sum(-1), 1.0,
+                               atol=1e-5)
+    assert out["image"].shape == batch["image"].shape
+
+
+def test_cub_index_and_parts(tmp_path):
+    # synthesize a minimal CUB metadata tree
+    base = tmp_path / "CUB_200_2011"
+    (base / "images" / "001.Black_footed_Albatross").mkdir(parents=True)
+    (base / "parts").mkdir()
+    img = Image.new("RGB", (60, 40))
+    names = []
+    for i in range(1, 5):
+        name = f"001.Black_footed_Albatross/img_{i}.jpg"
+        img.save(base / "images" / name)
+        names.append(name)
+    (base / "images.txt").write_text(
+        "".join(f"{i} {n}\n" for i, n in enumerate(names, 1))
+    )
+    (base / "image_class_labels.txt").write_text(
+        "".join(f"{i} 1\n" for i in range(1, 5))
+    )
+    (base / "train_test_split.txt").write_text(
+        "1 1\n2 1\n3 0\n4 0\n"
+    )
+    (base / "bounding_boxes.txt").write_text(
+        "".join(f"{i} 5 5 50 30\n" for i in range(1, 5))
+    )
+    (base / "parts" / "part_locs.txt").write_text(
+        "".join(
+            f"{i} {p} {10 + p} {10} {1 if p < 3 else 0}\n"
+            for i in range(1, 5) for p in range(1, 16)
+        )
+    )
+    train = build_cub_index(str(tmp_path), train=True)
+    test = build_cub_index(str(tmp_path), train=False)
+    assert len(train) == 2 and len(test) == 2
+    assert train.labels.tolist() == [0, 0]
+    assert os.path.isfile(train.paths[0])
+
+    parts = load_cub_parts(str(base))
+    assert len(parts.id_to_part_loc[1]) == 2  # only visible parts
+    assert in_bbox(10, 10, parts.id_to_bbox[1])
+    assert not in_bbox(0, 0, parts.id_to_bbox[1])
