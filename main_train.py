@@ -331,12 +331,15 @@ def main(args) -> dict:
                 "epoch/val_local_acc1": val_stats["local_acc1"]}
                if "global_acc1" in val_stats else {}),
         })
-        if (epoch + 1) % cfg.train.save_ep_freq == 0:
-            ckpt_mgr.save(epoch, state, {"val_acc1": val_stats["acc1"]})
-        if val_stats["acc1"] > best_acc:
+        periodic = (epoch + 1) % cfg.train.save_ep_freq == 0
+        is_best = val_stats["acc1"] > best_acc
+        if is_best:
             best_acc = val_stats["acc1"]
-            ckpt_mgr.save(epoch, state, {"val_acc1": val_stats["acc1"],
-                                         "best": True})
+        if periodic or is_best:
+            ckpt_mgr.save(
+                epoch, state,
+                {"val_acc1": val_stats["acc1"], "best": is_best},
+            )
         logger.info(
             f"epoch {epoch} done in {time.time() - t0:.1f}s "
             f"acc1={val_stats['acc1']:.3f} best={best_acc:.3f}"

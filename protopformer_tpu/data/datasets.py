@@ -32,6 +32,7 @@ NUM_CLASSES = {
     "CIFAR10": 10,
     "CIFAR100": 100,
     "MNIST": 10,
+    "synthetic": 4,
 }
 
 

@@ -43,6 +43,21 @@ from jax.experimental.pallas import tpu as pltpu
 SOFTMAX_EPS = 1e-6  # ref: deit_models_attn.py:29
 
 
+def _erf(x):
+    """fp32 erf via Abramowitz & Stegun 7.1.26 (max abs err 1.5e-7) —
+    Mosaic has no erf primitive; this stays within the exact-GELU parity
+    budget (the reference's torch GELU is erf-exact)."""
+    sign = jnp.sign(x)
+    ax = jnp.abs(x)
+    t = 1.0 / (1.0 + 0.3275911 * ax)
+    poly = t * (
+        0.254829592
+        + t * (-0.284496736 + t * (1.421413741
+                                   + t * (-1.453152027 + t * 1.061405429)))
+    )
+    return sign * (1.0 - poly * jnp.exp(-ax * ax))
+
+
 def _layernorm_f32(x, scale, bias, eps):
     mu = jnp.mean(x, axis=-1, keepdims=True)
     var = jnp.mean(jnp.square(x - mu), axis=-1, keepdims=True)
@@ -52,7 +67,7 @@ def _layernorm_f32(x, scale, bias, eps):
 def _block_kernel(
     # inputs
     x_ref,        # (TB, N, C) tokens (bf16 or f32)
-    policy_ref,   # (TB, 1, N) keep-mask f32 (middle axis: TPU block tiling)
+    policy_ref,   # (TB, 1, N) keep-mask f32
     ln1_s_ref, ln1_b_ref,   # (1, C)
     wqkv_ref,     # (C, 3C)
     bqkv_ref,     # (1, 3C)
@@ -68,12 +83,19 @@ def _block_kernel(
     map_ref,      # (TB, N, N) f32 normalized rollout map
     *,
     num_heads: int,
+    seq_len: int,
+    tile: int,
     ln_eps: float,
     keep: int,
     identity_weight: float,
     compute_dtype=jnp.bfloat16,
 ):
-    TB, N, C = x_ref.shape
+    """All tensors stay 2-D inside the kernel (Mosaic cannot reshape across
+    the padded 197-token sublane dim); the sample/head structure is unrolled
+    as static python loops over 2-D slices."""
+    N = seq_len
+    TB = tile
+    C = x_ref.shape[-1]
     H = num_heads
     hd = C // H
     scale = hd ** -0.5
@@ -83,88 +105,96 @@ def _block_kernel(
         else jax.lax.Precision.DEFAULT
     )
 
-    x = x_ref[:].astype(jnp.float32).reshape(TB * N, C)
-    pol = policy_ref[:, 0, :].astype(jnp.float32)  # (TB, N)
-
-    # --- attention ---------------------------------------------------------
-    h = _layernorm_f32(x, ln1_s_ref[0], ln1_b_ref[0], ln_eps)
-    qkv = (
-        jnp.dot(h.astype(cd), wqkv_ref[:].astype(cd),
-                preferred_element_type=jnp.float32, precision=prec)
-        + bqkv_ref[0]
-    ).reshape(TB, N, 3 * C)
-
     row = jax.lax.broadcasted_iota(jnp.int32, (N, N), 0)
     col = jax.lax.broadcasted_iota(jnp.int32, (N, N), 1)
     eye = (row == col).astype(jnp.float32)
-    # identity escape: a dropped token still attends to itself
-    attn_policy = pol[:, None, :] + (1.0 - pol[:, None, :]) * eye  # (TB,N,N)
 
-    batched = (((2,), (2,)), ((0,), (0,)))  # contract hd, batch TB
-    probs_mean = jnp.zeros((TB, N, N), jnp.float32)
-    attn_out = jnp.zeros((TB * N, C), jnp.float32)
-    for hh in range(H):
-        q = qkv[:, :, hh * hd:(hh + 1) * hd]
-        k = qkv[:, :, C + hh * hd:C + (hh + 1) * hd]
-        v = qkv[:, :, 2 * C + hh * hd:2 * C + (hh + 1) * hd]
-        logits = jax.lax.dot_general(
-            q.astype(cd), k.astype(cd), batched,
-            preferred_element_type=jnp.float32, precision=prec,
-        ) * scale  # (TB, N, N)
-        # eps-stabilized policy softmax (full-row max like the reference)
-        m = jnp.max(logits, axis=-1, keepdims=True)
-        e = jnp.exp(logits - m) * attn_policy
-        probs = (e + SOFTMAX_EPS / N) / (
-            jnp.sum(e, axis=-1, keepdims=True) + SOFTMAX_EPS
+    wqkv = wqkv_ref[:].astype(cd)
+    wproj = wproj_ref[:].astype(cd)
+    wfc1 = wfc1_ref[:].astype(cd)
+    wfc2 = wfc2_ref[:].astype(cd)
+
+    # sequential per-sample loop over the tile: every tensor op is 2-D
+    # (Mosaic cannot reshape/slice across the padded 197-row sublane dim,
+    # but leading-dim indexing of 3-D refs is free), and the live set stays
+    # at one sample's (N, N) temporaries.
+    def sample_body(s, _):
+        x = x_ref[s].astype(jnp.float32)  # (N, C)
+        pol = policy_ref[s].astype(jnp.float32)  # (1, N)
+        # identity escape: a dropped token still attends to itself
+        attn_policy = pol + (1.0 - pol) * eye  # (N, N)
+
+        # --- attention ----------------------------------------------------
+        h = _layernorm_f32(x, ln1_s_ref[:], ln1_b_ref[:], ln_eps).astype(cd)
+        qkv = (
+            jnp.dot(h, wqkv, preferred_element_type=jnp.float32,
+                    precision=prec)
+            + bqkv_ref[:]
+        ).astype(cd)  # (N, 3C)
+        probs_mean = jnp.zeros((N, N), jnp.float32)
+        head_outs = []
+        for hh in range(H):
+            q = qkv[:, hh * hd:(hh + 1) * hd]
+            k = qkv[:, C + hh * hd:C + (hh + 1) * hd]
+            v = qkv[:, 2 * C + hh * hd:2 * C + (hh + 1) * hd]
+            logits = jnp.dot(
+                q, k.T, preferred_element_type=jnp.float32, precision=prec,
+            ) * scale  # (N, N)
+            # eps-stabilized policy softmax (full-row max, like the ref)
+            m = jnp.max(logits, axis=-1, keepdims=True)
+            e = jnp.exp(logits - m) * attn_policy
+            probs = (e + SOFTMAX_EPS / N) / (
+                jnp.sum(e, axis=-1, keepdims=True) + SOFTMAX_EPS
+            )
+            probs_mean = probs_mean + probs * (1.0 / H)
+            head_outs.append(
+                jnp.dot(probs.astype(cd), v,
+                        preferred_element_type=jnp.float32,
+                        precision=prec).astype(cd)
+            )
+        attn_out = jnp.concatenate(head_outs, axis=1)  # (N, C)
+        x = x + (
+            jnp.dot(attn_out, wproj, preferred_element_type=jnp.float32,
+                    precision=prec)
+            + bproj_ref[:]
         )
-        probs_mean = probs_mean + probs * (1.0 / H)
-        o = jax.lax.dot_general(
-            probs.astype(cd), v.astype(cd),
-            (((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32, precision=prec,
-        )  # (TB, N, hd)
-        attn_out = attn_out + jnp.dot(
-            o.reshape(TB * N, hd).astype(cd),
-            wproj_ref[hh * hd:(hh + 1) * hd, :].astype(cd),
-            preferred_element_type=jnp.float32, precision=prec,
+
+        # --- MLP ------------------------------------------------------------
+        h2 = _layernorm_f32(x, ln2_s_ref[:], ln2_b_ref[:], ln_eps).astype(cd)
+        f1 = (
+            jnp.dot(h2, wfc1, preferred_element_type=jnp.float32,
+                    precision=prec)
+            + bfc1_ref[:]
         )
-    x = x + attn_out + bproj_ref[0]
-
-    # --- MLP ---------------------------------------------------------------
-    h2 = _layernorm_f32(x, ln2_s_ref[0], ln2_b_ref[0], ln_eps)
-    f1 = (
-        jnp.dot(h2.astype(cd), wfc1_ref[:].astype(cd),
-                preferred_element_type=jnp.float32, precision=prec)
-        + bfc1_ref[0]
-    )
-    # exact-erf GELU (torch default; NOT the tanh approximation)
-    f1 = f1 * 0.5 * (1.0 + jax.lax.erf(f1 * (2.0 ** -0.5)))
-    x = x + (
-        jnp.dot(f1.astype(cd), wfc2_ref[:].astype(cd),
-                preferred_element_type=jnp.float32, precision=prec)
-        + bfc2_ref[0]
-    )
-    out_ref[:] = x.reshape(TB, N, C).astype(out_ref.dtype)
-
-    # --- fused rollout-map normalization (vectorized across the tile) ------
-    bits = pltpu.bitcast(probs_mean, jnp.int32)  # (TB, N, N)
-
-    def body(_, carry):
-        lo, hi = carry  # (TB, 1, 1)
-        mid = lo + (hi - lo + 1) // 2
-        cnt = jnp.sum(
-            (bits >= mid).astype(jnp.int32), axis=(1, 2), keepdims=True
+        # exact-erf GELU (torch default; NOT the tanh approximation)
+        f1 = (f1 * 0.5 * (1.0 + _erf(f1 * (2.0 ** -0.5)))).astype(cd)
+        x = x + (
+            jnp.dot(f1, wfc2, preferred_element_type=jnp.float32,
+                    precision=prec)
+            + bfc2_ref[:]
         )
-        ok = cnt >= keep
-        return jnp.where(ok, mid, lo), jnp.where(ok, hi, mid - 1)
+        out_ref[s] = x.astype(out_ref.dtype)
 
-    lo0 = jnp.zeros((TB, 1, 1), jnp.int32)
-    hi0 = jnp.max(bits, axis=(1, 2), keepdims=True)
-    lo, _ = jax.lax.fori_loop(0, 31, body, (lo0, hi0))
-    a = jnp.where(bits >= lo, probs_mean, 0.0)
-    a = (a + identity_weight * eye) / (1.0 + identity_weight)
-    denom = jnp.sum(a, axis=-1, keepdims=True)
-    map_ref[:] = a / jnp.where(denom == 0.0, 1.0, denom)
+        # --- fused rollout-map normalization (scalar bisection) -----------
+        bits = pltpu.bitcast(probs_mean, jnp.int32)  # (N, N)
+
+        def bisect(_, carry):
+            lo, hi = carry
+            mid = lo + (hi - lo + 1) // 2
+            cnt = jnp.sum((bits >= mid).astype(jnp.int32))
+            ok = cnt >= keep
+            return jnp.where(ok, mid, lo), jnp.where(ok, hi, mid - 1)
+
+        lo, _ = jax.lax.fori_loop(
+            0, 31, bisect, (jnp.int32(0), jnp.max(bits))
+        )
+        a = jnp.where(bits >= lo, probs_mean, 0.0)
+        a = (a + identity_weight * eye) / (1.0 + identity_weight)
+        denom = jnp.sum(a, axis=-1, keepdims=True)
+        map_ref[s] = a / jnp.where(denom == 0.0, 1.0, denom)
+        return 0
+
+    jax.lax.fori_loop(0, TB, sample_body, 0)
 
 
 def _block_args(params: Dict[str, Any]):
@@ -181,14 +211,11 @@ def _block_args(params: Dict[str, Any]):
 
 
 def _pick_tile(B: int, N: int, C: int) -> int:
-    """Largest sample tile (<=8) dividing B that keeps the working set
-    comfortably inside VMEM (~16 MB)."""
-    for tb in (8, 4, 2, 1):
-        if B % tb:
-            continue
-        # rough live-set estimate: qkv + 3x(N,N) maps + mlp hidden, fp32
-        live = tb * (N * 3 * C + 3 * N * N + N * 4 * C) * 4
-        if live < 10 * 1024 * 1024:
+    """Samples per program: the leading block dim is unconstrained (the
+    tiled dims are the trailing (N, C)/(N, N)); 8 amortizes the per-program
+    weight fetch while keeping HBM->VMEM pipelining fine-grained."""
+    for tb in (8, 4, 2):
+        if B % tb == 0:
             return tb
     return 1
 
@@ -229,6 +256,8 @@ def fused_deit_block(
     kernel = functools.partial(
         _block_kernel,
         num_heads=num_heads,
+        seq_len=N,
+        tile=TB,
         ln_eps=ln_eps,
         keep=keep,
         identity_weight=identity_weight,
@@ -237,7 +266,7 @@ def fused_deit_block(
     const = lambda *shape: pl.BlockSpec(  # noqa: E731
         shape, lambda b: (0,) * len(shape), memory_space=pltpu.VMEM
     )
-    return pl.pallas_call(
+    out2, maps = pl.pallas_call(
         kernel,
         grid=(B // TB,),
         in_specs=[
@@ -264,3 +293,4 @@ def fused_deit_block(
         ),
         interpret=interpret,
     )(x, policy[:, None, :], *_block_args(params))
+    return out2, maps

@@ -61,6 +61,8 @@ def train_one_epoch(
     for batch in metric_logger.log_every(
         loader, 30, header=f"Epoch: [{epoch}]"
     ):
+        # drop the eval-only valid mask (train drops ragged batches instead)
+        batch = {"image": batch["image"], "label": batch["label"]}
         state, metrics = train_step(state, batch, rng, ppc_gate)
         loss = float(metrics["loss"])
         if not math.isfinite(loss):
