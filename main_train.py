@@ -255,15 +255,22 @@ def main(args) -> dict:
         img_size, cfg.data.color_jitter, cfg.data.aa, cfg.data.reprob
     )
     eval_tf = build_eval_transform(img_size)
+    n_dev = len(jax.devices())
+
+    def _round_to_devices(bs: int) -> int:
+        return max(n_dev, (bs // n_dev) * n_dev)
+
+    train_bs = _round_to_devices(cfg.data.batch_size)
     train_loader = HostDataLoader(
-        train_index, train_tf, cfg.data.batch_size, shuffle=True,
+        train_index, train_tf, train_bs, shuffle=True,
         seed=cfg.train.seed, drop_last=True,
         num_workers=cfg.data.num_workers, mesh=mesh,
     )
-    # val batch = 1.5x train batch (ref: main.py:312)
+    # val batch = 1.5x train batch (ref: main.py:312), device-divisible
     val_loader = HostDataLoader(
-        val_index, eval_tf, int(1.5 * cfg.data.batch_size), shuffle=False,
-        seed=cfg.train.seed, num_workers=cfg.data.num_workers, mesh=mesh,
+        val_index, eval_tf, _round_to_devices(int(1.5 * cfg.data.batch_size)),
+        shuffle=False, seed=cfg.train.seed,
+        num_workers=cfg.data.num_workers, mesh=mesh,
     )
     logger.info(
         f"train: {len(train_index)} samples / val: {len(val_index)} samples"

@@ -86,6 +86,16 @@ BACKBONE_PRESETS: Dict[str, BackboneConfig] = {
         name="deit_tiny_patch2_32", arch="deit",
         img_size=32, patch_size=2, embed_dim=192, depth=12, num_heads=3,
     ),
+    # micro config for CI smoke tests (CPU-fast; not a reference model)
+    "deit_micro_test": BackboneConfig(
+        name="deit_micro_test", arch="deit",
+        img_size=32, patch_size=8, embed_dim=24, depth=3, num_heads=2,
+    ),
+    "cait_micro_test": BackboneConfig(
+        name="cait_micro_test", arch="cait",
+        img_size=32, patch_size=8, embed_dim=24, depth=3, num_heads=2,
+        depth_token_only=2,
+    ),
 }
 
 

@@ -169,6 +169,32 @@ def build_aircraft_index(root: str, train: bool) -> DatasetIndex:
     )
 
 
+def build_inat_index(
+    root: str, train: bool, year: int = 2019, category: str = "name"
+) -> DatasetIndex:
+    """iNaturalist from the annotation JSONs (ref: tools/datasets.py:35-75 —
+    categories regrouped by the chosen taxonomic level)."""
+    split = "train" if train else "val"
+    with open(os.path.join(root, f"{split}{year}.json")) as f:
+        data = json.load(f)
+    with open(os.path.join(root, f"categories{year}.json")) as f:
+        categories = json.load(f)
+    values = sorted({str(c[category]) for c in categories})
+    v2i = {v: i for i, v in enumerate(values)}
+    cat_to_label = {
+        c["id"]: v2i[str(c[category])] for c in categories
+    }
+    img_by_id = {im["id"]: im["file_name"] for im in data["images"]}
+    paths, labels = [], []
+    for ann in data["annotations"]:
+        paths.append(os.path.join(root, img_by_id[ann["image_id"]]))
+        labels.append(cat_to_label[ann["category_id"]])
+    return DatasetIndex(
+        paths=paths, labels=np.asarray(labels, np.int32),
+        num_classes=len(values),
+    )
+
+
 def build_synthetic_index(
     num_samples: int = 64,
     num_classes: int = 4,
@@ -206,6 +232,8 @@ def build_dataset_index(
         return build_imagefolder_index(
             os.path.join(data_path, "train" if train else "val")
         )
+    if data_set in ("INAT", "INAT19"):
+        return build_inat_index(data_path, train, year=2019, **kw)
     if data_set == "synthetic":
         return build_synthetic_index(**kw)
     raise ValueError(f"unknown data_set: {data_set}")

@@ -114,16 +114,21 @@ class HostDataLoader:
         sentinel = object()
 
         def producer():
-            with ThreadPoolExecutor(self.num_workers) as pool:
-                for b in range(n_batches):
-                    ids = order[b * self.batch_size:(b + 1) * self.batch_size]
-                    batch = self._make_batch(ids, pool)
-                    if self.mesh is not None:
-                        from protopformer_tpu.parallel import shard_batch
+            try:
+                with ThreadPoolExecutor(self.num_workers) as pool:
+                    for b in range(n_batches):
+                        ids = order[
+                            b * self.batch_size:(b + 1) * self.batch_size
+                        ]
+                        batch = self._make_batch(ids, pool)
+                        if self.mesh is not None:
+                            from protopformer_tpu.parallel import shard_batch
 
-                        batch = shard_batch(batch, self.mesh)
-                    out_q.put(batch)
-            out_q.put(sentinel)
+                            batch = shard_batch(batch, self.mesh)
+                        out_q.put(batch)
+                out_q.put(sentinel)
+            except BaseException as e:  # surface in the consumer thread
+                out_q.put(e)
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()
@@ -131,4 +136,6 @@ class HostDataLoader:
             item = out_q.get()
             if item is sentinel:
                 break
+            if isinstance(item, BaseException):
+                raise item
             yield item

@@ -6,9 +6,13 @@ normalized rollout map) -> CLS-row rollout scores -> top-k policy ->
 masked final block(s) -> final LayerNorm -> top-k gather -> add-on ->
 prototype distances -> dual-branch logits.
 
-This is the deployment/benchmark engine (BASELINE config #1). It shares all
-config and weights with the training model; ``tests/test_kernels.py``
-checks its outputs against ``PPNet.apply`` and the throughput bench runs it.
+STATUS: experimental. On v5e the measured fused block runs ~2.7 ms vs the
+XLA path's ~2.2 ms/block at B=256 — Mosaic's reshape/slice limits around the
+padded 197-token dim force a per-sample loop that loses XLA's cross-batch
+matmul batching, so the DEFAULT inference path remains the Flax model (whose
+rollout already uses the CLS-row vector trick and bit-bisection top-k from
+ops/rollout.py). Kept as a validated baseline for future kernel iterations;
+``tests/test_kernels.py`` checks it against ``PPNet.apply``.
 
 Inference-only by construction (no dropout/drop-path state).
 """

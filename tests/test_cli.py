@@ -17,7 +17,7 @@ import main_train
 def test_main_train_synthetic_smoke(tmp_path):
     parser = main_train.get_args_parser()
     args = parser.parse_args([
-        "--base_architecture=deit_tiny_patch2_32",
+        "--base_architecture=deit_micro_test",
         "--data_set=synthetic",
         "--data_path=",
         "--img_size=32",
@@ -26,8 +26,8 @@ def test_main_train_synthetic_smoke(tmp_path):
         "--epochs=2",
         "--warmup-epochs=1",
         "--prototype_shape", "8", "16", "1", "1",
-        "--reserve_layers", "10",
-        "--reserve_token_nums", "81",
+        "--reserve_layers", "2",
+        "--reserve_token_nums", "9",
         "--use_global=True",
         "--use_ppc_loss=True",
         "--global_proto_per_class=2",
@@ -50,14 +50,14 @@ def test_main_train_synthetic_smoke(tmp_path):
 def test_main_train_eval_only_resume(tmp_path):
     parser = main_train.get_args_parser()
     base = [
-        "--base_architecture=deit_tiny_patch2_32",
+        "--base_architecture=deit_micro_test",
         "--data_set=synthetic",
         "--data_path=",
         "--img_size=32", "--input_size=32",
         "--batch_size=8", "--epochs=1", "--warmup-epochs=1",
         "--prototype_shape", "8", "16", "1", "1",
-        "--reserve_layers", "10",
-        "--reserve_token_nums", "81",
+        "--reserve_layers", "2",
+        "--reserve_token_nums", "9",
         "--use_global=True", "--global_proto_per_class=2",
         "--num_workers=2", "--compute_dtype=float32",
         f"--output_dir={tmp_path}/out", "--save_ep_freq=1",
