@@ -40,9 +40,9 @@ PP = PPNetConfig(
 
 def test_find_high_activation_crop():
     act = np.zeros((32, 32), np.float32)
-    act[10:15, 20:25] = 1.0
+    act[10:18, 20:28] = 1.0  # 64/1024 = 6.25% > the 5% percentile tail
     y0, y1, x0, x1 = find_high_activation_crop(act, 95.0)
-    assert (y0, y1, x0, x1) == (10, 15, 20, 25)
+    assert (y0, y1, x0, x1) == (10, 18, 20, 28)
 
 
 def test_gaussian_params_and_surface():
