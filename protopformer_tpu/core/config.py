@@ -48,8 +48,11 @@ class BackboneConfig:
     rollout_discard_ratio: float = 0.9
     rollout_identity_weight: float = 0.2
     rollout_head_fusion: str = "mean"
-    # Pallas TPU kernels: "auto" = on TPU backends, "on", "off"
-    use_pallas: str = "auto"
+    # Pallas kernels for the rollout normalize: opt-in ("on"/"auto"/"off").
+    # Default OFF: on v5e the XLA path (batch-vectorized bit-bisection,
+    # ops/rollout.py) measured faster than the per-sample Pallas grid; the
+    # kernels remain available for larger-batch/multi-core regimes.
+    use_pallas: str = "off"
 
     @property
     def num_patches(self) -> int:
