@@ -170,7 +170,9 @@ class DeiTBackbone(nn.Module):
         last_prune = max(reserve_map)
 
         x = jnp.concatenate([cls_embed, x_embed], axis=1)
-        policy = jnp.ones((B, seq_len), dtype=jnp.float32)
+        # static all-ones sentinel until the first prune point (the eps
+        # softmax math is identical, minus the policy-tensor broadcast)
+        policy = "ones"
         cls_row = jnp.zeros((B, 1, seq_len), jnp.float32).at[:, 0, 0].set(1.0)
         norm_maps = []
         cls_token_attn = None

@@ -26,6 +26,7 @@ from flax import linen as nn
 
 from protopformer_tpu.ops.masking import (
     class_attn_softmax_with_policy,
+    eps_softmax,
     softmax_with_policy,
 )
 
@@ -143,6 +144,10 @@ class Attention(nn.Module):
         if policy is None:
             probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
             probs = probs.astype(self.dtype)
+        elif isinstance(policy, str) and policy == "ones":
+            # statically all-ones policy (pre-prune blocks): same math as
+            # softmax_with_policy(logits, ones) without the policy tensor
+            probs = eps_softmax(logits)
         else:
             probs = softmax_with_policy(logits, policy)
         probs = nn.Dropout(self.attn_drop)(probs, deterministic=deterministic)

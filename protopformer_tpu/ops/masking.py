@@ -56,6 +56,24 @@ def softmax_with_policy(
     return attn.astype(logits.dtype)
 
 
+def eps_softmax(logits: jax.Array, eps: float = 1e-6) -> jax.Array:
+    """``softmax_with_policy`` specialized to an all-ones policy.
+
+    The pruning forward feeds EVERY block the masked softmax, but before the
+    prune point the policy is statically all-ones (ref:
+    deit_models_attn.py:218-235) — the identity-escape tensor and the policy
+    multiply reduce to no-ops, leaving only the eps stabilizers:
+    ``(exp(l - max) + eps/N) / (sum exp(l - max) + eps)``. Bit-identical to
+    ``softmax_with_policy(logits, ones)`` without materializing the
+    (B, 1, N, N) policy tensor per block.
+    """
+    N = logits.shape[-1]
+    max_att = jnp.max(logits, axis=-1, keepdims=True)
+    e = jnp.exp((logits - max_att).astype(jnp.float32))
+    attn = (e + eps / N) / (jnp.sum(e, axis=-1, keepdims=True) + eps)
+    return attn.astype(logits.dtype)
+
+
 def class_attn_softmax_with_policy(
     logits: jax.Array, policy: jax.Array, eps: float = 1e-6
 ) -> jax.Array:
