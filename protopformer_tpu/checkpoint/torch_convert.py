@@ -110,15 +110,22 @@ def convert_deit_state_dict(
     Ignores classifier heads (the reference deletes ``head`` —
     deit_models_attn.py:97 — and loads with strict=False).
     """
+    num_prefix = 2 if "dist_token" in sd else 1
     pos_embed = _t(sd["pos_embed"])
     if num_patches is not None:
-        pos_embed = resize_pos_embed(pos_embed, num_patches)
+        pos_embed = resize_pos_embed(pos_embed, num_patches, num_prefix)
     params: Tree = {
         "cls_token": _t(sd["cls_token"]),
         "pos_embed": pos_embed,
         "patch_embed": _patch_embed(sd),
         "norm": _layernorm(sd, "norm"),
     }
+    # distilled variants (ref: deit_models_attn.py:243-282)
+    if "dist_token" in sd:
+        params["dist_token"] = _t(sd["dist_token"])
+    for head in ("head", "head_dist"):
+        if f"{head}.weight" in sd:
+            params[head] = _linear(sd, head)
     for i in range(depth):
         p = f"blocks.{i}"
         params[f"blocks_{i}"] = {

@@ -1,4 +1,4 @@
-from protopformer_tpu.models.deit import DeiTBackbone
+from protopformer_tpu.models.deit import DeiTBackbone, DistilledDeiT
 from protopformer_tpu.models.cait import CaiTBackbone
 from protopformer_tpu.models.ppnet import (
     PPNet,

@@ -218,3 +218,79 @@ class DeiTBackbone(nn.Module):
 
     def __call__(self, x: jax.Array, deterministic: bool = True) -> jax.Array:
         return self.forward_features(x, deterministic)
+
+
+class DistilledDeiT(nn.Module):
+    """DeiT with a distillation token and dual heads
+    (ref: DistilledVisionTransformer, tools/deit_models_attn.py:243-282).
+
+    Registered by the reference but not used in the ProtoPFormer pipeline;
+    provided for backbone-surface parity. Training returns (cls_logits,
+    dist_logits); inference returns their average (ref: :274-282).
+    """
+
+    config: BackboneConfig
+    num_classes: int = 1000
+    compute_dtype: jnp.dtype = jnp.float32
+
+    def setup(self):
+        cfg = self.config
+        self.patch_embed = PatchEmbed(
+            cfg.patch_size, cfg.embed_dim, dtype=self.compute_dtype,
+            name="patch_embed",
+        )
+        self.cls_token = self.param(
+            "cls_token", nn.initializers.truncated_normal(0.02),
+            (1, 1, cfg.embed_dim), jnp.float32,
+        )
+        self.dist_token = self.param(
+            "dist_token", nn.initializers.truncated_normal(0.02),
+            (1, 1, cfg.embed_dim), jnp.float32,
+        )
+        # +2 prefix tokens (ref: deit_models_attn.py:247-248)
+        self.pos_embed = self.param(
+            "pos_embed", nn.initializers.truncated_normal(0.02),
+            (1, cfg.num_patches + 2, cfg.embed_dim), jnp.float32,
+        )
+        dpr = [
+            cfg.drop_path_rate * i / max(cfg.depth - 1, 1)
+            for i in range(cfg.depth)
+        ]
+        self.blocks = [
+            Block(
+                num_heads=cfg.num_heads, mlp_ratio=cfg.mlp_ratio,
+                qkv_bias=cfg.qkv_bias, drop_rate=cfg.drop_rate,
+                drop_path=dpr[i], layer_norm_eps=cfg.layer_norm_eps,
+                dtype=self.compute_dtype, name=f"blocks_{i}",
+            )
+            for i in range(cfg.depth)
+        ]
+        self.norm = nn.LayerNorm(
+            cfg.layer_norm_eps, dtype=self.compute_dtype,
+            param_dtype=jnp.float32, name="norm",
+        )
+        self.head = nn.Dense(self.num_classes, param_dtype=jnp.float32,
+                             name="head")
+        self.head_dist = nn.Dense(self.num_classes, param_dtype=jnp.float32,
+                                  name="head_dist")
+
+    def __call__(self, x: jax.Array, train: bool = False):
+        B = x.shape[0]
+        cfg = self.config
+        tokens = self.patch_embed(x.astype(self.compute_dtype))
+        cls = jnp.broadcast_to(
+            self.cls_token.astype(self.compute_dtype), (B, 1, cfg.embed_dim)
+        )
+        dist = jnp.broadcast_to(
+            self.dist_token.astype(self.compute_dtype), (B, 1, cfg.embed_dim)
+        )
+        full = jnp.concatenate([cls, dist, tokens], axis=1)
+        full = full + self.pos_embed.astype(self.compute_dtype)
+        for blk in self.blocks:
+            full, _ = blk(full, None, not train)
+        full = self.norm(full)
+        logits = self.head(full[:, 0].astype(jnp.float32))
+        logits_dist = self.head_dist(full[:, 1].astype(jnp.float32))
+        if train:
+            return logits, logits_dist
+        return (logits + logits_dist) / 2.0

@@ -188,6 +188,26 @@ def test_basenet(images):
     assert maps.shape == (2, 24, 4, 4)
 
 
+def test_distilled_deit(images):
+    from protopformer_tpu.models import DistilledDeiT
+
+    import dataclasses
+
+    cfg = dataclasses.replace(TINY_DEIT, drop_path_rate=0.0)
+    model = DistilledDeiT(cfg, num_classes=5)
+    params = model.init(jax.random.key(0), images)["params"]
+    avg = model.apply({"params": params}, images)
+    assert avg.shape == (2, 5)
+    cls_l, dist_l = model.apply(
+        {"params": params}, images, train=True,
+        rngs={"droppath": jax.random.key(1)},
+    )
+    np.testing.assert_allclose(
+        np.asarray(avg), (np.asarray(cls_l) + np.asarray(dist_l)) / 2,
+        atol=1e-5,
+    )
+
+
 def test_pruning_masks_attention(images):
     """After the prune layer, dropped tokens receive ~zero attention from
     kept tokens (identity escape only lets them attend to themselves)."""
