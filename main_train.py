@@ -301,8 +301,18 @@ def main(args) -> dict:
     state = jax.device_put(state, NamedSharding(mesh, P()))
 
     smoothing = cfg.data.smoothing if cfg.data.enable_smoothing else 0.0
+    mixup = None
+    if cfg.data.enable_mixup and (cfg.data.mixup > 0 or cfg.data.cutmix > 0):
+        from protopformer_tpu.data import MixupCutmix
+
+        mixup = MixupCutmix(
+            mixup_alpha=cfg.data.mixup, cutmix_alpha=cfg.data.cutmix,
+            prob=cfg.data.mixup_prob, switch_prob=cfg.data.mixup_switch_prob,
+            label_smoothing=smoothing, num_classes=cfg.ppnet.num_classes,
+        )
     train_step = make_train_step(model, cfg.ppnet, cfg.optim,
-                                 smoothing=smoothing, mesh=mesh)
+                                 smoothing=0.0 if mixup else smoothing,
+                                 mixup=mixup, mesh=mesh)
     eval_step = make_eval_step(model, cfg.ppnet.use_global, mesh=mesh)
 
     ckpt_mgr = CheckpointManager(os.path.join(out_dir, "checkpoints"))

@@ -28,41 +28,50 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _normalize_kernel(
-    probs_ref,  # (1, H, N, N) attention probabilities (input dtype)
-    out_ref,  # (1, N, N) fp32 normalized map
+    probs_ref,  # (TB, H, N, N) attention probabilities (input dtype)
+    out_ref,  # (TB, N, N) fp32 normalized maps
     *,
+    tile: int,
     keep: int,
     identity_weight: float,
     n_tokens: int,
 ):
     H = probs_ref.shape[1]
     N = probs_ref.shape[2]
-    # head mean in fp32
-    a = jnp.mean(probs_ref[0].astype(jnp.float32), axis=0)  # (N, N)
-
-    # --- k-th largest via bit bisection (all VMEM-resident) ---
-    bits = pltpu.bitcast(a, jnp.int32)
-
-    def body(_, carry):
-        lo, hi = carry
-        mid = lo + (hi - lo + 1) // 2
-        cnt = jnp.sum((bits >= mid).astype(jnp.int32))
-        ok = cnt >= keep
-        return jnp.where(ok, mid, lo), jnp.where(ok, hi, mid - 1)
-
-    lo, _ = jax.lax.fori_loop(
-        0, 31, body, (jnp.int32(0), jnp.max(bits))
-    )
-    # compare in bit space (scalar bitcast is unsupported; order matches)
-    a = jnp.where(bits >= lo, a, 0.0)
-    # identity blend + row normalize
     row = jax.lax.broadcasted_iota(jnp.int32, (N, N), 0)
     col = jax.lax.broadcasted_iota(jnp.int32, (N, N), 1)
     eye = ((row == col) & (row < n_tokens)).astype(jnp.float32)
-    a = (a + identity_weight * eye) / (1.0 + identity_weight)
-    # guard the padded tail rows (sum 0) against 0/0
-    denom = jnp.sum(a, axis=-1, keepdims=True)
-    out_ref[0] = a / jnp.where(denom == 0.0, 1.0, denom)
+
+    # sequential over the tile (one sample's temporaries live at a time);
+    # the 31 bisection passes re-read VMEM, not HBM — that is the point:
+    # the XLA path pays 31 x 40 MB of HBM reads per block at B=256.
+    def sample_body(s, _):
+        # head mean in fp32 (2-D ops only: Mosaic layout limits)
+        a = probs_ref[s, 0].astype(jnp.float32) * (1.0 / H)
+        for hh in range(1, H):
+            a = a + probs_ref[s, hh].astype(jnp.float32) * (1.0 / H)
+
+        bits = pltpu.bitcast(a, jnp.int32)
+
+        def bisect(_, carry):
+            lo, hi = carry
+            mid = lo + (hi - lo + 1) // 2
+            cnt = jnp.sum((bits >= mid).astype(jnp.int32))
+            ok = cnt >= keep
+            return jnp.where(ok, mid, lo), jnp.where(ok, hi, mid - 1)
+
+        lo, _ = jax.lax.fori_loop(
+            0, 31, bisect, (jnp.int32(0), jnp.max(bits))
+        )
+        # compare in bit space (scalar bitcast is unsupported; order matches)
+        a = jnp.where(bits >= lo, a, 0.0)
+        a = (a + identity_weight * eye) / (1.0 + identity_weight)
+        # guard the padded tail rows (sum 0) against 0/0
+        denom = jnp.sum(a, axis=-1, keepdims=True)
+        out_ref[s] = a / jnp.where(denom == 0.0, 1.0, denom)
+        return 0
+
+    jax.lax.fori_loop(0, tile, sample_body, 0)
 
 
 @functools.partial(
@@ -84,23 +93,25 @@ def fused_normalize_attention_map(
     """
     B, H, N, _ = probs.shape
     keep = N * N - int(N * N * discard_ratio)
+    TB = 8 if B % 8 == 0 else (4 if B % 4 == 0 else (2 if B % 2 == 0 else 1))
     kernel = functools.partial(
         _normalize_kernel,
+        tile=TB,
         keep=keep,
         identity_weight=identity_weight,
         n_tokens=N,
     )
     return pl.pallas_call(
         kernel,
-        grid=(B,),
+        grid=(B // TB,),
         in_specs=[
             pl.BlockSpec(
-                (1, H, N, N), lambda b: (b, 0, 0, 0),
+                (TB, H, N, N), lambda b: (b, 0, 0, 0),
                 memory_space=pltpu.VMEM,
             )
         ],
         out_specs=pl.BlockSpec(
-            (1, N, N), lambda b: (b, 0, 0), memory_space=pltpu.VMEM
+            (TB, N, N), lambda b: (b, 0, 0), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((B, N, N), jnp.float32),
         interpret=interpret,

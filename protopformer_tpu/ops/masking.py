@@ -63,15 +63,23 @@ def eps_softmax(logits: jax.Array, eps: float = 1e-6) -> jax.Array:
     prune point the policy is statically all-ones (ref:
     deit_models_attn.py:218-235) — the identity-escape tensor and the policy
     multiply reduce to no-ops, leaving only the eps stabilizers:
-    ``(exp(l - max) + eps/N) / (sum exp(l - max) + eps)``. Bit-identical to
-    ``softmax_with_policy(logits, ones)`` without materializing the
-    (B, 1, N, N) policy tensor per block.
+    ``(exp(l - max) + eps/N) / (sum exp(l - max) + eps)``.
+
+    fp32 logits: bit-identical to ``softmax_with_policy(logits, ones)``
+    (the parity path). bf16 logits (speed mode): the elementwise exp/divide
+    stay in bf16 with an fp32 row-sum — the output is bf16 either way, and
+    skipping the fp32 materialization of the (B, H, N, N) tensor saves
+    ~1.5 ms/block of HBM traffic at B=256.
     """
     N = logits.shape[-1]
     max_att = jnp.max(logits, axis=-1, keepdims=True)
-    e = jnp.exp((logits - max_att).astype(jnp.float32))
-    attn = (e + eps / N) / (jnp.sum(e, axis=-1, keepdims=True) + eps)
-    return attn.astype(logits.dtype)
+    if logits.dtype == jnp.float32:
+        e = jnp.exp(logits - max_att)
+        return (e + eps / N) / (jnp.sum(e, axis=-1, keepdims=True) + eps)
+    e = jnp.exp(logits - max_att)
+    s = jnp.sum(e, axis=-1, keepdims=True, dtype=jnp.float32) + eps
+    inv = (1.0 / s).astype(logits.dtype)
+    return (e + jnp.asarray(eps / N, logits.dtype)) * inv
 
 
 def class_attn_softmax_with_policy(

@@ -50,6 +50,7 @@ def make_train_step(
     ppnet_cfg: Optional[PPNetConfig],
     optim_cfg: OptimConfig,
     smoothing: float = 0.0,
+    mixup=None,
     mesh: Optional[Mesh] = None,
     donate: bool = True,
 ) -> Callable:
@@ -58,6 +59,9 @@ def make_train_step(
     Signature of the returned function:
       (state, batch {'image': (B,H,W,C), 'label': (B,) or (B,cls)},
        rng, ppc_gate scalar) -> (state, metrics dict)
+
+    ``mixup``: optional data.mixup.MixupCutmix applied on-device inside the
+    step (ref wires timm Mixup in the loop body — tools/engine_proto.py:45-46).
 
     With ``mesh`` given, the step is jitted with state/rng replicated and the
     batch sharded on the data axis; XLA inserts gradient all-reduces.
@@ -68,6 +72,9 @@ def make_train_step(
     def train_step(state: TrainState, batch, rng, ppc_gate):
         step_rng = jax.random.fold_in(rng, state.step)
         drop_rng, dropout_rng = jax.random.split(step_rng)
+        if mixup is not None:
+            mix_rng = jax.random.fold_in(step_rng, 7)
+            batch = mixup(mix_rng, batch)
 
         def loss_fn(params):
             out = model.apply(

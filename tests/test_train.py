@@ -127,6 +127,20 @@ def test_cross_entropy_soft_and_smoothing():
     assert float(smoothed) > float(hard)
 
 
+def test_train_step_with_mixup():
+    from protopformer_tpu.data import MixupCutmix
+
+    model, state = _setup()
+    mixup = MixupCutmix(mixup_alpha=0.8, cutmix_alpha=1.0, num_classes=4)
+    train_step = make_train_step(model, TINY_PP, OPT, mixup=mixup,
+                                 donate=False)
+    state2, metrics = train_step(
+        state, _batch(), jax.random.key(3), jnp.float32(0.0)
+    )
+    assert np.isfinite(float(metrics["loss"]))
+    assert int(state2.step) == 1
+
+
 def test_train_step_on_8_device_mesh():
     assert jax.device_count() >= 8, "conftest must provide 8 CPU devices"
     mesh = make_mesh(jax.devices()[:8])
