@@ -195,6 +195,70 @@ def build_inat_index(
     )
 
 
+def build_cifar_index(root: str, train: bool, cifar100: bool = False) -> DatasetIndex:
+    """CIFAR-10/100 from the standard python pickle batches
+    (ref: tools/datasets.py:170-177 uses torchvision; this parses the same
+    files directly — no torchvision dependency)."""
+    import pickle
+
+    def load_batch(path, label_key):
+        with open(path, "rb") as f:
+            d = pickle.load(f, encoding="bytes")
+        imgs = d[b"data"].reshape(-1, 3, 32, 32).transpose(0, 2, 3, 1)
+        return imgs, np.asarray(d[label_key], np.int32)
+
+    if cifar100:
+        base = os.path.join(root, "cifar-100-python")
+        files = ["train"] if train else ["test"]
+        key = b"fine_labels"
+        n_classes = 100
+    else:
+        base = os.path.join(root, "cifar-10-batches-py")
+        files = (
+            [f"data_batch_{i}" for i in range(1, 6)] if train else ["test_batch"]
+        )
+        key = b"labels"
+        n_classes = 10
+    all_imgs, all_labels = [], []
+    for fname in files:
+        imgs, labels = load_batch(os.path.join(base, fname), key)
+        all_imgs.append(imgs)
+        all_labels.append(labels)
+    images = np.concatenate(all_imgs).astype(np.uint8)
+    labels = np.concatenate(all_labels)
+    return DatasetIndex(
+        paths=[f"cifar://{i}" for i in range(len(labels))],
+        labels=labels, num_classes=n_classes, images=images,
+    )
+
+
+def build_mnist_index(root: str, train: bool) -> DatasetIndex:
+    """MNIST from the IDX files (ref: tools/datasets.py:178-181), replicated
+    to 3 channels like torchvision+transforms would produce."""
+    import gzip
+    import struct
+
+    split = "train" if train else "t10k"
+
+    def open_maybe_gz(name):
+        p = os.path.join(root, name)
+        if os.path.exists(p + ".gz"):
+            return gzip.open(p + ".gz", "rb")
+        return open(p, "rb")
+
+    with open_maybe_gz(f"{split}-images-idx3-ubyte") as f:
+        _, n, h, w = struct.unpack(">IIII", f.read(16))
+        images = np.frombuffer(f.read(n * h * w), np.uint8).reshape(n, h, w)
+    with open_maybe_gz(f"{split}-labels-idx1-ubyte") as f:
+        _, n = struct.unpack(">II", f.read(8))
+        labels = np.frombuffer(f.read(n), np.uint8).astype(np.int32)
+    images = np.repeat(images[..., None], 3, axis=-1)
+    return DatasetIndex(
+        paths=[f"mnist://{i}" for i in range(len(labels))],
+        labels=labels, num_classes=10, images=images,
+    )
+
+
 def build_synthetic_index(
     num_samples: int = 64,
     num_classes: int = 4,
@@ -234,6 +298,12 @@ def build_dataset_index(
         )
     if data_set in ("INAT", "INAT19"):
         return build_inat_index(data_path, train, year=2019, **kw)
+    if data_set == "CIFAR10":
+        return build_cifar_index(data_path, train, cifar100=False)
+    if data_set == "CIFAR100":
+        return build_cifar_index(data_path, train, cifar100=True)
+    if data_set == "MNIST":
+        return build_mnist_index(data_path, train)
     if data_set == "synthetic":
         return build_synthetic_index(**kw)
     raise ValueError(f"unknown data_set: {data_set}")

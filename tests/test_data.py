@@ -93,6 +93,43 @@ def test_mixup_soft_labels():
     assert out["image"].shape == batch["image"].shape
 
 
+def test_cifar_and_mnist_parsers(tmp_path):
+    import pickle
+    import struct
+
+    # fake cifar-10 tree
+    base = tmp_path / "cifar-10-batches-py"
+    base.mkdir()
+    rng = np.random.default_rng(0)
+    for i in range(1, 6):
+        data = {
+            b"data": rng.integers(0, 255, size=(4, 3072)).astype(np.uint8),
+            b"labels": [0, 1, 2, 3],
+        }
+        with open(base / f"data_batch_{i}", "wb") as f:
+            pickle.dump(data, f)
+    from protopformer_tpu.data.datasets import (
+        build_cifar_index,
+        build_mnist_index,
+    )
+
+    idx = build_cifar_index(str(tmp_path), train=True)
+    assert len(idx) == 20 and idx.num_classes == 10
+    assert idx.images.shape == (20, 32, 32, 3)
+
+    # fake mnist idx files
+    n, h, w = 6, 28, 28
+    with open(tmp_path / "train-images-idx3-ubyte", "wb") as f:
+        f.write(struct.pack(">IIII", 2051, n, h, w))
+        f.write(rng.integers(0, 255, size=(n * h * w,)).astype(np.uint8).tobytes())
+    with open(tmp_path / "train-labels-idx1-ubyte", "wb") as f:
+        f.write(struct.pack(">II", 2049, n))
+        f.write(np.arange(n, dtype=np.uint8).tobytes())
+    midx = build_mnist_index(str(tmp_path), train=True)
+    assert len(midx) == 6 and midx.images.shape == (6, 28, 28, 3)
+    assert midx.labels.tolist() == [0, 1, 2, 3, 4, 5]
+
+
 def test_cub_index_and_parts(tmp_path):
     # synthesize a minimal CUB metadata tree
     base = tmp_path / "CUB_200_2011"
