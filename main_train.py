@@ -113,6 +113,8 @@ def get_args_parser() -> argparse.ArgumentParser:
     p.add_argument("--resume", default="")
     p.add_argument("--start_epoch", default=0, type=int)
     p.add_argument("--eval", action="store_true")
+    p.add_argument("--eval_ema", action="store_true",
+                   help="evaluate the EMA weights instead of the live ones")
     p.add_argument("--num_workers", default=10, type=int)
     p.add_argument("--pretrained_ckpt", default="",
                    help=".pth with timm backbone weights to convert+load")
@@ -323,7 +325,12 @@ def main(args) -> dict:
         logger.info(f"resumed from epoch {start_epoch - 1}")
 
     if cfg.train.eval_only:
-        stats = evaluate(eval_step, state.params, val_loader, logger,
+        eval_params = (
+            state.ema_params
+            if args.eval_ema and state.ema_params is not None
+            else state.params
+        )
+        stats = evaluate(eval_step, eval_params, val_loader, logger,
                          cfg.ppnet.use_global)
         print(json.dumps(stats))
         return stats

@@ -4,3 +4,8 @@ from protopformer_tpu.parallel.mesh import (
     batch_sharding,
     shard_batch,
 )
+from protopformer_tpu.parallel.multihost import (
+    initialize_multihost,
+    is_main_process,
+    shard_index_for_process,
+)
