@@ -48,6 +48,9 @@ class BackboneConfig:
     rollout_discard_ratio: float = 0.9
     rollout_identity_weight: float = 0.2
     rollout_head_fusion: str = "mean"
+    # exact reference-parity discard threshold (True, default) vs the
+    # bf16-prefix speed variant (False; keeps boundary-prefix ties)
+    rollout_exact_discard: bool = True
     # Pallas kernels for the rollout normalize: opt-in ("on"/"auto"/"off").
     # Default OFF: on v5e the XLA path (batch-vectorized bit-bisection,
     # ops/rollout.py) measured faster than the per-sample Pallas grid; the

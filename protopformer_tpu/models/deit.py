@@ -62,6 +62,7 @@ def normalize_block_attention(
         _fuse_heads(attn.astype(jnp.float32), config.rollout_head_fusion),
         discard_ratio=config.rollout_discard_ratio,
         identity_weight=config.rollout_identity_weight,
+        exact_discard=config.rollout_exact_discard,
     )
 
 

@@ -84,10 +84,40 @@ def kth_largest(flat: jax.Array, keep: int) -> jax.Array:
     return jax.lax.bitcast_convert_type(lo, jnp.float32)
 
 
+def kth_largest_prefix16(flat: jax.Array, keep: int) -> jax.Array:
+    """bf16-prefix k-th-largest threshold (SPEED MODE, approximate ties).
+
+    Bisects only the high 16 bits (15 passes instead of 31 — the count
+    passes are the hot HBM loop). Returns the bf16-floor of the exact k-th
+    value; thresholding with ``>=`` keeps every element sharing that 16-bit
+    prefix, i.e. AT LEAST the exact keep set plus boundary-prefix ties
+    (tiny values near the 10% cutoff). Only for
+    ``rollout_exact_discard=False``; the default path is exact.
+    """
+    bits = jax.lax.bitcast_convert_type(flat, jnp.int32) >> 16
+    B = flat.shape[0]
+
+    def feasible(t):
+        return jnp.sum((bits >= t[:, None]).astype(jnp.int32), axis=-1)
+
+    lo = jnp.zeros((B,), jnp.int32)
+    hi = jnp.max(bits, axis=-1)
+
+    def body(_, carry):
+        lo, hi = carry
+        mid = lo + (hi - lo + 1) // 2
+        ok = feasible(mid) >= keep
+        return jnp.where(ok, mid, lo), jnp.where(ok, hi, mid - 1)
+
+    lo, hi = jax.lax.fori_loop(0, 15, body, (lo, hi))
+    return jax.lax.bitcast_convert_type(lo << 16, jnp.float32)
+
+
 def normalize_attention_map(
     attn_fused: jax.Array,
     discard_ratio: float = 0.9,
     identity_weight: float = 0.2,
+    exact_discard: bool = True,
 ) -> jax.Array:
     """Discard + identity-blend + row-normalize one fused map.
 
@@ -97,6 +127,8 @@ def normalize_attention_map(
       discard_ratio: fraction of the flattened (M*N) values zeroed per batch
         element (ref: deit_models_attn.py:110-113).
       identity_weight: identity blend weight (ref: deit_models_attn.py:118-119).
+      exact_discard: exact reference-parity threshold (default); False uses
+        the bf16-prefix threshold (faster, keeps boundary-prefix ties).
 
     Returns:
       (B, M, N) fp32 normalized map.
@@ -108,7 +140,9 @@ def normalize_attention_map(
         flat = a.reshape(B, M * N)
         # torch zeroes the k smallest by index; thresholding on the keep-th
         # largest value is equivalent up to ties at the threshold.
-        kth = kth_largest(flat, keep)
+        kth = (kth_largest if exact_discard else kth_largest_prefix16)(
+            flat, keep
+        )
         flat = jnp.where(flat >= kth[:, None], flat, 0.0)
         a = flat.reshape(B, M, N)
     # identity is row-truncated for class-attention maps (M < N)
