@@ -192,6 +192,55 @@ class DeiTBackbone(nn.Module):
         x = self.norm(x)
         return x, cls_token_attn
 
+    def masked_forward_thresh(
+        self,
+        cls_embed: jax.Array,
+        x_embed: jax.Array,
+        token_attn: jax.Array,
+        reserve_layer_nums: Sequence[Tuple[int, int]],
+        deterministic: bool = True,
+    ) -> Tuple[jax.Array, jax.Array]:
+        """Threshold-based pruning variant (ref:
+        forward_feature_mask_train_thresh, deit_models_attn.py:183-207 —
+        present in the reference but unused by its scripts): at each reserve
+        layer, keep tokens whose EXTERNAL attention score exceeds
+        1/num_patches, and return the rollout over the blocks before the
+        first prune point.
+
+        Args:
+          token_attn: (B, N) external per-patch scores (the reference passes
+            a teacher attention here).
+
+        Returns:
+          (x (B, 1+N, D) after the final LayerNorm,
+           cls_token_attn (B, N) from the pre-prune rollout).
+        """
+        B, patch_num, _ = x_embed.shape
+        seq_len = 1 + patch_num
+        layer_ids = [l for l, _ in reserve_layer_nums]
+        first_prune = min(layer_ids)
+
+        x = jnp.concatenate([cls_embed, x_embed], axis=1)
+        policy = "ones"
+        cls_row = jnp.zeros((B, 1, seq_len), jnp.float32).at[:, 0, 0].set(1.0)
+        norm_maps = []
+
+        for i, blk in enumerate(self.blocks):
+            if i in layer_ids:
+                thresh = 1.0 / patch_num
+                keep = (token_attn >= thresh).astype(jnp.float32)
+                policy = jnp.concatenate(
+                    [jnp.ones((B, 1), jnp.float32), keep], axis=1
+                )
+            x, attn = blk(x, policy, deterministic)
+            if i < first_prune:
+                norm_maps.append(normalize_block_attention(attn, self.config))
+
+        # rollout over the pre-prune blocks only (ref: :202-203)
+        cls_token_attn = rollout_row_scores(norm_maps, cls_row)[:, 0, 1:]
+        x = self.norm(x)
+        return x, cls_token_attn
+
     def feature_maps(
         self, x: jax.Array, deterministic: bool = True
     ) -> jax.Array:

@@ -188,6 +188,25 @@ def test_basenet(images):
     assert maps.shape == (2, 24, 4, 4)
 
 
+def test_deit_masked_forward_thresh(images):
+    """Threshold-policy variant: tokens below 1/num_patches are masked."""
+    model = DeiTBackbone(TINY_DEIT)
+    params = model.init(jax.random.key(0), images)["params"]
+    rng = np.random.default_rng(1)
+    token_attn = jnp.asarray(
+        rng.uniform(0, 2.0 / 16, size=(2, 16)).astype(np.float32)
+    )
+    x, cls_attn = model.apply(
+        {"params": params}, images,
+        method=lambda m, im: m.masked_forward_thresh(
+            *m.embed_all(im), token_attn, [(2, 9)]
+        ),
+    )
+    assert x.shape == (2, 17, 24)
+    assert cls_attn.shape == (2, 16)
+    assert np.isfinite(np.asarray(x)).all()
+
+
 def test_distilled_deit(images):
     from protopformer_tpu.models import DistilledDeiT
 
