@@ -12,13 +12,9 @@ inside opt_state.
 
 from __future__ import annotations
 
-import dataclasses
-import json
 import os
 from typing import Any, Dict, Optional
 
-import jax
-import numpy as np
 import orbax.checkpoint as ocp
 
 from protopformer_tpu.train.state import TrainState

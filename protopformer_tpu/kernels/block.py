@@ -32,7 +32,6 @@ autodiff-able Flax path.
 from __future__ import annotations
 
 import functools
-import math
 from typing import Any, Dict, Tuple
 
 import jax

@@ -18,7 +18,7 @@ the prune point (deit_models_attn.py:218-235).
 
 from __future__ import annotations
 
-from typing import List, Optional, Sequence, Tuple
+from typing import Sequence, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -18,7 +18,7 @@ bf16 through a log of a difference of squares.
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

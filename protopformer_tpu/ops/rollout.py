@@ -25,7 +25,6 @@ precision truncates fp32 operands (bf16-class error ~1e-3) even off-TPU.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Sequence, Tuple
 
 import jax

@@ -26,7 +26,6 @@ from typing import Dict, Iterable, List, Optional, Tuple
 import numpy as np
 
 import jax
-import jax.numpy as jnp
 
 from protopformer_tpu.data.local_parts import CubPartAnnotations, in_bbox
 from protopformer_tpu.tools.visualize import scatter_activations_to_grid

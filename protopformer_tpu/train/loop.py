@@ -16,11 +16,9 @@ bodies. Differences by design:
 from __future__ import annotations
 
 import math
-from typing import Dict, Optional
+from typing import Dict
 
-import jax
 import jax.numpy as jnp
-import numpy as np
 
 from protopformer_tpu.core.config import ExperimentConfig
 from protopformer_tpu.train.scheduler import make_group_schedules

@@ -15,7 +15,7 @@ when configured.
 
 from __future__ import annotations
 
-from typing import Any, Dict
+from typing import Any
 
 import jax
 import optax

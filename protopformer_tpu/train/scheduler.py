@@ -21,7 +21,6 @@ step-driven) given a static steps_per_epoch.
 
 from __future__ import annotations
 
-import math
 from typing import Callable, Dict
 
 import jax.numpy as jnp

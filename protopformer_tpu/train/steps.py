@@ -13,14 +13,13 @@ traced scalar ``ppc_gate`` in [0, 1] so flipping it does not recompile.
 
 from __future__ import annotations
 
-from functools import partial
-from typing import Any, Callable, Dict, Optional, Tuple
+from typing import Callable, Optional
 
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from protopformer_tpu.core.config import DataConfig, OptimConfig, PPNetConfig
+from protopformer_tpu.core.config import OptimConfig, PPNetConfig
 from protopformer_tpu.ops.ppc import ppc_loss
 from protopformer_tpu.train.state import TrainState
 

@@ -11,9 +11,8 @@ from __future__ import annotations
 
 import time
 from collections import defaultdict, deque
-from typing import Dict, Iterable, Optional
+from typing import Dict
 
-import jax
 import numpy as np
 
 
