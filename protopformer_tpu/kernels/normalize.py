@@ -36,42 +36,37 @@ def _normalize_kernel(
     identity_weight: float,
     n_tokens: int,
 ):
-    H = probs_ref.shape[1]
-    N = probs_ref.shape[2]
+    TB, H, N, _ = probs_ref.shape
+
+    # head mean in fp32
+    a = jnp.mean(probs_ref[:].astype(jnp.float32), axis=1)  # (TB, N, N)
+
+    # bit-bisection k-th largest, VECTORIZED across the tile. The carries
+    # are (TB, 1, 1); reductions are chained single-axis (Mosaic rejects
+    # multi-axis reduce / flat reshapes on this layout). All 31 count passes
+    # re-read VMEM, not HBM — the XLA path pays 31 HBM passes per block.
+    bits = pltpu.bitcast(a, jnp.int32)
+
+    def bisect(_, carry):
+        lo, hi = carry
+        mid = lo + (hi - lo + 1) // 2
+        cnt = jnp.sum(
+            jnp.sum((bits >= mid).astype(jnp.int32), axis=2), axis=1
+        )[:, None, None]
+        ok = cnt >= keep
+        return jnp.where(ok, mid, lo), jnp.where(ok, hi, mid - 1)
+
+    lo0 = jnp.zeros((TB, 1, 1), jnp.int32)
+    hi0 = jnp.max(jnp.max(bits, axis=2), axis=1)[:, None, None]
+    lo, _ = jax.lax.fori_loop(0, 31, bisect, (lo0, hi0))
+
+    a = jnp.where(bits >= lo, a, 0.0)
     row = jax.lax.broadcasted_iota(jnp.int32, (N, N), 0)
     col = jax.lax.broadcasted_iota(jnp.int32, (N, N), 1)
     eye = ((row == col) & (row < n_tokens)).astype(jnp.float32)
-
-    # sequential over the tile (one sample's temporaries live at a time);
-    # the 31 bisection passes re-read VMEM, not HBM — that is the point:
-    # the XLA path pays 31 x 40 MB of HBM reads per block at B=256.
-    def sample_body(s, _):
-        # head mean in fp32 (2-D ops only: Mosaic layout limits)
-        a = probs_ref[s, 0].astype(jnp.float32) * (1.0 / H)
-        for hh in range(1, H):
-            a = a + probs_ref[s, hh].astype(jnp.float32) * (1.0 / H)
-
-        bits = pltpu.bitcast(a, jnp.int32)
-
-        def bisect(_, carry):
-            lo, hi = carry
-            mid = lo + (hi - lo + 1) // 2
-            cnt = jnp.sum((bits >= mid).astype(jnp.int32))
-            ok = cnt >= keep
-            return jnp.where(ok, mid, lo), jnp.where(ok, hi, mid - 1)
-
-        lo, _ = jax.lax.fori_loop(
-            0, 31, bisect, (jnp.int32(0), jnp.max(bits))
-        )
-        # compare in bit space (scalar bitcast is unsupported; order matches)
-        a = jnp.where(bits >= lo, a, 0.0)
-        a = (a + identity_weight * eye) / (1.0 + identity_weight)
-        # guard the padded tail rows (sum 0) against 0/0
-        denom = jnp.sum(a, axis=-1, keepdims=True)
-        out_ref[s] = a / jnp.where(denom == 0.0, 1.0, denom)
-        return 0
-
-    jax.lax.fori_loop(0, tile, sample_body, 0)
+    a = (a + identity_weight * eye) / (1.0 + identity_weight)
+    denom = jnp.sum(a, axis=-1, keepdims=True)
+    out_ref[:] = a / jnp.where(denom == 0.0, 1.0, denom)
 
 
 @functools.partial(

@@ -43,21 +43,20 @@ def use_pallas_kernels(config: BackboneConfig) -> bool:
     return jax.default_backend() == "tpu"
 
 
+def fused_rollout_core(config: BackboneConfig) -> bool:
+    """True when blocks should run the fused Pallas attention core (emitting
+    normalized rollout maps directly)."""
+    return (
+        use_pallas_kernels(config) and config.rollout_head_fusion == "mean"
+    )
+
+
 def normalize_block_attention(
     attn: jax.Array, config: BackboneConfig
 ) -> jax.Array:
     """One block's (B, H, N, N) probs -> (B, N, N) fp32 normalized rollout
-    map, via the fused Pallas kernel on TPU (mean fusion only) or the
-    pure-JAX ops elsewhere."""
+    map (pure-JAX path; the fused Pallas core emits maps directly)."""
     attn = jax.lax.stop_gradient(attn)
-    if use_pallas_kernels(config) and config.rollout_head_fusion == "mean":
-        from protopformer_tpu.kernels import fused_normalize_attention_map
-
-        return fused_normalize_attention_map(
-            attn,
-            discard_ratio=config.rollout_discard_ratio,
-            identity_weight=config.rollout_identity_weight,
-        )
     return normalize_attention_map(
         _fuse_heads(attn.astype(jnp.float32), config.rollout_head_fusion),
         discard_ratio=config.rollout_discard_ratio,
@@ -89,6 +88,11 @@ class DeiTBackbone(nn.Module):
         # stochastic-depth decay 0 -> drop_path_rate (ref: deit_models_attn.py:89)
         depth = cfg.depth
         dpr = [cfg.drop_path_rate * i / max(depth - 1, 1) for i in range(depth)]
+        rollout_norm = (
+            (cfg.rollout_discard_ratio, cfg.rollout_identity_weight)
+            if fused_rollout_core(cfg)
+            else None
+        )
         self.blocks = [
             Block(
                 num_heads=cfg.num_heads,
@@ -99,6 +103,7 @@ class DeiTBackbone(nn.Module):
                 drop_path=dpr[i],
                 layer_norm_eps=cfg.layer_norm_eps,
                 dtype=self.compute_dtype,
+                rollout_norm=rollout_norm,
                 name=f"blocks_{i}",
             )
             for i in range(depth)
@@ -178,6 +183,9 @@ class DeiTBackbone(nn.Module):
         norm_maps = []
         cls_token_attn = None
 
+        # with the fused core active (pallas + deterministic), blocks emit
+        # normalized rollout maps directly; otherwise raw probs to normalize
+        fused = fused_rollout_core(self.config) and deterministic
         for i, blk in enumerate(self.blocks):
             if i in reserve_map:
                 scores = rollout_row_scores(norm_maps, cls_row)
@@ -185,9 +193,12 @@ class DeiTBackbone(nn.Module):
                 policy, _ = reserve_policy(
                     cls_token_attn, reserve_map[i], seq_len
                 )
-            x, attn = blk(x, policy, deterministic)
+            x, aux = blk(x, policy, deterministic)
             if i < last_prune:
-                norm_maps.append(normalize_block_attention(attn, self.config))
+                norm_maps.append(
+                    aux if fused
+                    else normalize_block_attention(aux, self.config)
+                )
 
         x = self.norm(x)
         return x, cls_token_attn

@@ -111,6 +111,12 @@ class Attention(nn.Module):
     deit_models_attn.py:17-60): when ``policy`` is given the probabilities
     come from the fp32 policy-masked softmax; otherwise a plain (fp32)
     softmax. Returns (out, probs (B, H, N, N)).
+
+    ``rollout_norm=(discard_ratio, identity_weight)`` switches the
+    deterministic masked path to the fused Pallas attention core
+    (kernels/attention_core.py): the probability tensor never leaves VMEM
+    and the SECOND return value becomes the normalized (B, N, N) fp32
+    rollout map instead of raw probs.
     """
 
     num_heads: int
@@ -118,6 +124,7 @@ class Attention(nn.Module):
     attn_drop: float = 0.0
     proj_drop: float = 0.0
     dtype: Dtype = jnp.float32
+    rollout_norm: Optional[Tuple[float, float]] = None
 
     @nn.compact
     def __call__(
@@ -131,11 +138,36 @@ class Attention(nn.Module):
         hd = C // H
         prec = _matmul_precision(self.dtype)
 
-        qkv = nn.Dense(
+        qkv_flat = nn.Dense(
             3 * C, use_bias=self.qkv_bias, dtype=self.dtype,
             param_dtype=jnp.float32, precision=prec, name="qkv",
         )(x)
-        qkv = qkv.reshape(B, N, 3, H, hd).transpose(2, 0, 3, 1, 4)
+
+        use_core = (
+            self.rollout_norm is not None
+            and deterministic
+            and policy is not None
+        )
+        if use_core:
+            from protopformer_tpu.kernels.attention_core import (
+                fused_attention_core,
+            )
+
+            ones = isinstance(policy, str)
+            out, norm_map = fused_attention_core(
+                qkv_flat,
+                None if ones else policy,
+                H,
+                discard_ratio=self.rollout_norm[0],
+                identity_weight=self.rollout_norm[1],
+                ones_policy=ones,
+                compute_dtype=self.dtype,
+            )
+            out = nn.Dense(C, dtype=self.dtype, param_dtype=jnp.float32,
+                           precision=prec, name="proj")(out)
+            return out, norm_map
+
+        qkv = qkv_flat.reshape(B, N, 3, H, hd).transpose(2, 0, 3, 1, 4)
         q, k, v = qkv[0], qkv[1], qkv[2]
 
         logits = jnp.einsum("bhnd,bhmd->bhnm", q, k, precision=prec)
@@ -144,7 +176,7 @@ class Attention(nn.Module):
         if policy is None:
             probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
             probs = probs.astype(self.dtype)
-        elif isinstance(policy, str) and policy == "ones":
+        elif isinstance(policy, str):
             # statically all-ones policy (pre-prune blocks): same math as
             # softmax_with_policy(logits, ones) without the policy tensor
             probs = eps_softmax(logits)
@@ -161,7 +193,8 @@ class Attention(nn.Module):
 
 
 class Block(nn.Module):
-    """Pre-LN transformer block returning (x, attn_probs)
+    """Pre-LN transformer block returning (x, attn_probs) — or
+    (x, norm_map) under the fused rollout core (see Attention)
     (ref: tools/deit_models_attn.py:63-81)."""
 
     num_heads: int
@@ -172,6 +205,7 @@ class Block(nn.Module):
     drop_path: float = 0.0
     layer_norm_eps: float = 1e-6
     dtype: Dtype = jnp.float32
+    rollout_norm: Optional[Tuple[float, float]] = None
 
     @nn.compact
     def __call__(
@@ -183,7 +217,7 @@ class Block(nn.Module):
         C = x.shape[-1]
         h, attn = Attention(
             self.num_heads, self.qkv_bias, self.attn_drop, self.drop_rate,
-            dtype=self.dtype, name="attn",
+            dtype=self.dtype, rollout_norm=self.rollout_norm, name="attn",
         )(
             nn.LayerNorm(self.layer_norm_eps, dtype=self.dtype,
                          param_dtype=jnp.float32, name="norm1")(x),

@@ -91,6 +91,45 @@ def test_fused_serving_matches_model(rng):
     assert got.distances.shape == want.distances.shape
 
 
+@pytest.mark.parametrize("ones", [True, False])
+def test_fused_attention_core_matches_jax(rng, ones):
+    """Fused attention core vs the flax Attention + normalize chain (fp32)."""
+    from protopformer_tpu.kernels.attention_core import fused_attention_core
+    from protopformer_tpu.models.layers import Attention
+
+    B, N, C, H = 4, 17, 24, 2
+    x = jnp.asarray(rng.normal(size=(B, N, C)).astype(np.float32))
+    if ones:
+        policy = "ones"
+        kern_policy, kern_ones = None, True
+    else:
+        keep = (rng.uniform(size=(B, N)) > 0.4).astype(np.float32)
+        keep[:, 0] = 1.0
+        policy = jnp.asarray(keep)
+        kern_policy, kern_ones = policy, False
+
+    attn_mod = Attention(num_heads=H, dtype=jnp.float32)
+    params = attn_mod.init(jax.random.key(0), x, policy)["params"]
+    want_out, want_probs = attn_mod.apply({"params": params}, x, policy, True)
+    want_map = normalize_attention_map(
+        _fuse_heads(want_probs.astype(jnp.float32), "mean")
+    )
+
+    # feed the same qkv activations into the kernel
+    qkv = x @ params["qkv"]["kernel"] + params["qkv"]["bias"]
+    got_pre, got_map = fused_attention_core(
+        qkv, kern_policy, H, ones_policy=kern_ones,
+        compute_dtype=jnp.float32, interpret=True,
+    )
+    got_out = got_pre @ params["proj"]["kernel"] + params["proj"]["bias"]
+    np.testing.assert_allclose(
+        np.asarray(got_out), np.asarray(want_out), atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(got_map), np.asarray(want_map), atol=1e-6
+    )
+
+
 def test_fused_normalize_bf16_input(rng):
     B, H, N = 2, 3, 33
     logits = rng.normal(size=(B, H, N, N)).astype(np.float32)
