@@ -93,6 +93,31 @@ def test_mixup_soft_labels():
     assert out["image"].shape == batch["image"].shape
 
 
+def test_imagefolder_index_and_loader(tmp_path):
+    """ImageFolder tree -> index -> loader with real JPEG decode."""
+    from protopformer_tpu.data.datasets import build_imagefolder_index
+
+    rng = np.random.default_rng(0)
+    for cls in ("alpha", "beta"):
+        d = tmp_path / cls
+        d.mkdir()
+        for i in range(3):
+            Image.fromarray(
+                rng.integers(0, 255, size=(40, 50, 3)).astype(np.uint8)
+            ).save(d / f"img{i}.jpg")
+    index = build_imagefolder_index(str(tmp_path))
+    assert len(index) == 6 and index.num_classes == 2
+    assert index.labels.tolist() == [0, 0, 0, 1, 1, 1]
+
+    t = build_eval_transform(32)
+    loader = HostDataLoader(index, t, batch_size=4, shuffle=False,
+                            num_workers=2)
+    batches = list(loader)
+    assert batches[0]["image"].shape == (4, 32, 32, 3)
+    assert batches[0]["image"].dtype == np.float32
+    assert batches[1]["valid"].sum() == 2
+
+
 def test_cifar_and_mnist_parsers(tmp_path):
     import pickle
     import struct
