@@ -19,7 +19,7 @@ import jax.numpy as jnp
 A100_BASELINE_IMG_PER_SEC = 5000.0
 
 
-def main():
+def main(_retries: int = 2):
     from protopformer_tpu.core.config import PPNetConfig, backbone_preset
     from protopformer_tpu.models import construct_ppnet
 
@@ -48,15 +48,23 @@ def main():
         out = model.apply({"params": params}, images, train=False)
         return acc + out.logits.sum().astype(jnp.float32)
 
-    np.asarray(forward(jnp.float32(0), params, x))  # compile + warm
+    # the remote-TPU tunnel occasionally throws a transient
+    # "TPU backend error (Internal)" — retry rather than lose the record
+    try:
+        np.asarray(forward(jnp.float32(0), params, x))  # compile + warm
 
-    iters = 20
-    acc = jnp.float32(0)
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        acc = forward(acc, params, x)
-    np.asarray(acc)
-    dt = time.perf_counter() - t0
+        iters = 20
+        acc = jnp.float32(0)
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            acc = forward(acc, params, x)
+        np.asarray(acc)
+        dt = time.perf_counter() - t0
+    except Exception:
+        if _retries <= 0:
+            raise
+        time.sleep(10)
+        return main(_retries - 1)
 
     img_per_sec = batch_size * iters / dt
     print(
