@@ -74,6 +74,47 @@ def test_cosine_schedule_timm_semantics():
     assert np.isclose(float(sched(10 * 5 + 3)), 1e-5)
 
 
+def test_step_schedule_timm_semantics():
+    from protopformer_tpu.train.scheduler import step_epoch_schedule
+
+    sched = step_epoch_schedule(
+        base_lr=1e-3, decay_epochs=10, decay_rate=0.1, steps_per_epoch=4
+    )
+    assert np.isclose(float(sched(0)), 1e-3)
+    assert np.isclose(float(sched(9 * 4)), 1e-3)  # epoch 9 still base
+    assert np.isclose(float(sched(10 * 4)), 1e-4)  # epoch 10 decayed
+    assert np.isclose(float(sched(20 * 4)), 1e-5)
+
+
+def test_group_lr_ratio_reflected_in_updates():
+    """prototype group (lr 3e-3) must move ~30x more than features (1e-4)
+    relative to gradient scale on the first Adam step (updates are
+    ~lr-sized after Adam normalization)."""
+    import dataclasses
+
+    opt = dataclasses.replace(
+        OPT, features_lr=1e-4, prototype_vectors_lr=3e-3,
+        warmup_epochs=0, epochs=10, warmup_lr=1e-4,
+    )
+    model = construct_ppnet(TINY_BK, TINY_PP)
+    params = model.init(jax.random.key(0), jnp.zeros((1, 32, 32, 3)))["params"]
+    tx = make_optimizer(opt, params, steps_per_epoch=4)
+    state = create_train_state(params, tx, with_ema=False)
+    train_step = make_train_step(model, TINY_PP, opt, donate=False)
+    state2, _ = train_step(state, _batch(), jax.random.key(0), jnp.float32(0.0))
+
+    dproto = np.abs(
+        np.asarray(state2.params["prototype_vectors"])
+        - np.asarray(state.params["prototype_vectors"])
+    ).max()
+    dfeat = np.abs(
+        np.asarray(state2.params["features"]["blocks_0"]["attn"]["qkv"]["kernel"])
+        - np.asarray(state.params["features"]["blocks_0"]["attn"]["qkv"]["kernel"])
+    ).max()
+    # first Adam step magnitude ~= lr (sign-like update); ratio ~30
+    assert 10 < dproto / dfeat < 100, (dproto, dfeat)
+
+
 def test_optimizer_freezes_heads_and_updates_groups():
     model, state = _setup()
     train_step = make_train_step(model, TINY_PP, OPT)
