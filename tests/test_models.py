@@ -76,6 +76,28 @@ def test_cait_masked_forward_shapes(images):
     assert np.isfinite(np.asarray(x)).all()
 
 
+def test_ppnet_over_cait(images):
+    """PPNet with the CaiT backbone (Cars-style geometry, reserve CA block 1)."""
+    cfg = PPNetConfig(
+        prototype_shape=(40, 16, 1, 1), num_classes=4,
+        reserve_layers=(1,), reserve_token_nums=(9,),
+        use_global=True, global_proto_per_class=3,
+    )
+    model = construct_ppnet(TINY_CAIT, cfg)
+    params = model.init(jax.random.key(0), images)["params"]
+    out = model.apply({"params": params}, images)
+    assert out.logits.shape == (2, 4)
+    assert out.distances.shape == (2, 40, 3, 3)
+    assert np.isfinite(np.asarray(out.logits)).all()
+    # train contract too
+    tout = model.apply(
+        {"params": params}, images, train=True,
+        rngs={"droppath": jax.random.key(1)},
+    )
+    assert tout.total_proto_act.shape == (2, 40, 3, 3)
+    assert tout.original_fea_len == 16
+
+
 def test_ppnet_eval_forward_contract(images):
     model = construct_ppnet(TINY_DEIT, TINY_PPNET)
     params = model.init(jax.random.key(0), images)["params"]
