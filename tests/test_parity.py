@@ -149,6 +149,50 @@ def test_cait_backbone_parity(batch):
     np.testing.assert_allclose(np.asarray(got_t), t.numpy(), atol=1e-4)
 
 
+def test_ppnet_over_cait_parity(batch):
+    """Full PPNet over the CaiT backbone vs the torch oracle (Cars-style
+    reserve at class-attention block 1, dense rollout)."""
+    from protopformer_tpu.models import construct_ppnet as _ctor
+    from tests.torch_reference import RefCait
+
+    torch.manual_seed(9)
+    ref_bk = RefCait(img_size=32, patch_size=8, dim=24, depth=3, heads=2,
+                     depth_token_only=2)
+    ref = RefPPNet(
+        ref_bk, num_prototypes=40, proto_dim=16, num_classes=4,
+        reserve_layer_nums=((1, 9),), global_per_class=3, global_coe=0.5,
+        discard_ratio=0.0,
+    ).eval()
+    sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+    params = convert_ppnet_state_dict(
+        sd, arch="cait", depth=3, depth_token_only=2
+    )
+    bk = BackboneConfig(
+        name="tiny-cait", arch="cait", img_size=32, patch_size=8,
+        embed_dim=24, depth=3, num_heads=2, depth_token_only=2,
+        drop_path_rate=0.0, rollout_discard_ratio=0.0,
+    )
+    pp = PPNetConfig(
+        prototype_shape=(40, 16, 1, 1), num_classes=4,
+        reserve_layers=(1,), reserve_token_nums=(9,),
+        use_global=True, global_proto_per_class=3,
+    )
+    model = _ctor(bk, pp)
+    with torch.no_grad():
+        w_logits, w_attn, w_dist, w_lg, w_ll = ref(torch.from_numpy(batch))
+    out = model.apply(
+        {"params": params}, jnp.asarray(batch.transpose(0, 2, 3, 1))
+    )
+    np.testing.assert_allclose(
+        np.asarray(out.cls_token_attn), w_attn.numpy(), atol=1e-5
+    )
+    got_d = np.asarray(out.distances).reshape(w_dist.shape)
+    np.testing.assert_allclose(got_d, w_dist.numpy(), atol=1e-4, rtol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(out.logits), w_logits.numpy(), atol=1e-4, rtol=1e-4
+    )
+
+
 def test_deit_tiny_real_scale_parity():
     """Full production shape — DeiT-Tiny/16 @ 224, 12 blocks, prune at 11,
     reserve 81, discard 0.9 — validates the discard/top-k path end-to-end
