@@ -37,7 +37,11 @@ def main(_retries: int = 2):
     batch_size = 256
     rng = jax.random.key(1028)
     params = model.init(rng, jnp.zeros((1, 224, 224, 3)))["params"]
-    x = jax.random.normal(rng, (batch_size, 224, 224, 3), jnp.float32)
+    # host contract: raw [0,1] RGB; ImageNet normalize runs on device as
+    # part of the benched program (it is real serving work)
+    x = jax.random.uniform(rng, (batch_size, 224, 224, 3), jnp.float32)
+
+    from protopformer_tpu.data.preprocess import normalize_images
 
     # The steps are chained through a scalar accumulator so every iteration
     # must execute before the final host sync — through the remote-TPU
@@ -45,7 +49,9 @@ def main(_retries: int = 2):
     # independent dispatches may be elided).
     @jax.jit
     def forward(acc, params, images):
-        out = model.apply({"params": params}, images, train=False)
+        out = model.apply(
+            {"params": params}, normalize_images(images), train=False
+        )
         return acc + out.logits.sum().astype(jnp.float32)
 
     # the remote-TPU tunnel occasionally throws a transient

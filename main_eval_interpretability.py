@@ -41,10 +41,8 @@ def main():
 
     from protopformer_tpu.checkpoint.manager import load_params
     from protopformer_tpu.core.config import PPNetConfig, backbone_preset
-    from protopformer_tpu.data import (
-        HostDataLoader,
-        build_eval_transform,
-    )
+    from protopformer_tpu.data import HostDataLoader
+    from protopformer_tpu.data.transforms import build_square_transform
     from protopformer_tpu.data.datasets import build_cub_index
     from protopformer_tpu.data.local_parts import load_cub_parts
     from protopformer_tpu.models import construct_ppnet
@@ -82,7 +80,9 @@ def main():
         with Image.open(path) as im:
             image_sizes[int(img_id)] = im.size
 
-    eval_tf = build_eval_transform(backbone.img_size)
+    # protocol transform: plain square Resize((224,224)), NO center crop
+    # (ref: eval_interpretability.py:173-176)
+    eval_tf = build_square_transform(backbone.img_size)
     loader = HostDataLoader(index, eval_tf, args.batch_size, shuffle=False,
                             num_workers=8)
 

@@ -104,7 +104,17 @@ def get_args_parser() -> argparse.ArgumentParser:
                    type=float, default=0.5)
     p.add_argument("--enable_mixup", type=str2bool, default=False)
     # data / run (ref: main.py:173-206)
-    p.add_argument("--finetune", default="")
+    p.add_argument("--finetune", default="",
+                   help="accepted for flag parity; DEAD in the reference "
+                        "too (parsed at main.py:173, its only use is "
+                        "commented out at :427) — use --pretrained_ckpt "
+                        "for backbone weights or --resume for full state")
+    p.add_argument("--dist_eval", type=str2bool, default=False,
+                   help="accepted for flag parity (ref: main.py:289-297 "
+                        "shards val across ranks, with a padding-bias "
+                        "warning); this build always evaluates the exact "
+                        "full set, sharded over the mesh with a validity "
+                        "mask, so the flag is a no-op")
     p.add_argument("--data_set", default="CUB2011U")
     p.add_argument("--data_path", type=str,
                    default="./datasets/cub200_cropped/")
@@ -221,7 +231,6 @@ def main(args) -> dict:
         build_dataset_index,
         build_eval_transform,
         build_train_transform,
-        normalize_images,
     )
     from protopformer_tpu.models import construct_ppnet
     from protopformer_tpu.parallel import make_mesh
@@ -235,6 +244,13 @@ def main(args) -> dict:
     from protopformer_tpu.utils import MetricWriter, get_logger, set_seed
 
     cfg = config_from_args(args)
+    # fail fast on an unusable --resume before minutes of init/compile
+    if cfg.train.resume and cfg.train.resume not in ("latest", "true", "1") \
+            and not os.path.isdir(cfg.train.resume):
+        raise FileNotFoundError(
+            f"--resume={cfg.train.resume!r} is not a checkpoint directory "
+            f"(expected an Orbax root or a <root>/<epoch> step dir)"
+        )
     out_dir = cfg.train.output_dir
     logger = get_logger("train", os.path.join(out_dir, "train-logs"))
     writer = MetricWriter(out_dir)
@@ -317,12 +333,40 @@ def main(args) -> dict:
                                  mixup=mixup, mesh=mesh)
     eval_step = make_eval_step(model, cfg.ppnet.use_global, mesh=mesh)
 
+    if args.finetune:
+        logger.warning(
+            "--finetune is accepted for flag parity but dead in the "
+            "reference (main.py:173, use commented at :427); "
+            "use --pretrained_ckpt or --resume"
+        )
+
     ckpt_mgr = CheckpointManager(os.path.join(out_dir, "checkpoints"))
     start_epoch = cfg.train.start_epoch
     if cfg.train.resume:
-        state, meta = ckpt_mgr.restore(state)
+        # Honor the --resume value like the reference's torch.load(path)
+        # (ref: main.py:393-407). Accepted forms: an Orbax checkpoint root
+        # (restore latest), a specific `<root>/<epoch>` step dir, or the
+        # literal "latest" for this run's own output_dir.
+        resume = cfg.train.resume
+        epoch_arg = None
+        if os.path.isdir(resume):
+            base = os.path.basename(os.path.normpath(resume))
+            if base.isdigit():
+                epoch_arg = int(base)
+                resume_mgr = CheckpointManager(os.path.dirname(
+                    os.path.normpath(resume)))
+            else:
+                resume_mgr = CheckpointManager(resume)
+        elif resume in ("latest", "true", "1"):
+            resume_mgr = ckpt_mgr
+        else:
+            raise FileNotFoundError(
+                f"--resume={resume!r} is not a checkpoint directory "
+                f"(expected an Orbax root or a <root>/<epoch> step dir)"
+            )
+        state, meta = resume_mgr.restore(state, epoch=epoch_arg)
         start_epoch = int(meta.get("epoch", -1)) + 1
-        logger.info(f"resumed from epoch {start_epoch - 1}")
+        logger.info(f"resumed from epoch {start_epoch - 1} ({resume})")
 
     if cfg.train.eval_only:
         eval_params = (

@@ -19,8 +19,9 @@ NUM_PARTS = 15  # CUB annotates 15 parts per bird
 class CubPartAnnotations:
     id_to_path: Dict[int, str]
     id_to_bbox: Dict[int, Tuple[float, float, float, float]]  # x, y, w, h
-    # per image: list of [part_id (1-based), x, y] for VISIBLE parts only
-    id_to_part_loc: Dict[int, List[Tuple[int, float, float]]]
+    # per image: list of [part_id (1-based), int x, int y] for VISIBLE parts
+    # only (coords truncated like ref local_parts.py:67)
+    id_to_part_loc: Dict[int, List[Tuple[int, int, int]]]
 
     def path_to_id(self) -> Dict[str, int]:
         return {p: i for i, p in self.id_to_path.items()}
@@ -47,12 +48,14 @@ def load_cub_parts(data_root: str) -> CubPartAnnotations:
             i, x, y, w, h = line.split()
             id_to_bbox[int(i)] = (float(x), float(y), float(w), float(h))
 
-    id_to_part_loc: Dict[int, List[Tuple[int, float, float]]] = {}
+    id_to_part_loc: Dict[int, List[Tuple[int, int, int]]] = {}
     with open(os.path.join(data_root, "parts", "part_locs.txt")) as f:
         for line in f:
             img_id, part_id, x, y, visible = line.split()
             if int(visible):
+                # coordinates int-truncated at parse time, exactly like the
+                # reference (local_parts.py:67: int(float(loc_x)))
                 id_to_part_loc.setdefault(int(img_id), []).append(
-                    (int(part_id), float(x), float(y))
+                    (int(part_id), int(float(x)), int(float(y)))
                 )
     return CubPartAnnotations(id_to_path, id_to_bbox, id_to_part_loc)

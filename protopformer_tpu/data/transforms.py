@@ -251,6 +251,24 @@ def build_eval_transform(
     return transform
 
 
+def build_square_transform(
+    input_size: int = 224, interpolation=Image.BILINEAR
+) -> Callable:
+    """Plain square resize, NO crop — the interpretability-eval protocol's
+    transform (ref: eval_interpretability.py:173-176
+    ``transforms.Resize((img_size, img_size))``; torchvision Resize defaults
+    to bilinear). Output: float32 (H, W, 3) in [0,1]."""
+
+    def transform(img, rng=None) -> np.ndarray:
+        if isinstance(img, np.ndarray):
+            img = Image.fromarray(img)
+        img = img.convert("RGB")
+        img = img.resize((input_size, input_size), interpolation)
+        return np.asarray(img, np.float32) / 255.0
+
+    return transform
+
+
 def build_view_transform(input_size: int = 224) -> Callable:
     """Unnormalized uint8 view images for overlays (ref: build_dataset_view,
     tools/datasets.py:77-119)."""

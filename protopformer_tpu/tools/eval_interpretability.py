@@ -4,14 +4,17 @@ Rebuild of the reference's eval_interpretability.py (module-level script,
 ref: eval_interpretability.py:96-337): for every CUB test image, take the
 target class's ``proto_per_class`` local prototype activation maps
 (push_forward), scatter them from the k reserved tokens to the 14x14 grid,
-bicubic-upsample to 224, place a (2*half_size)^2 box at the argmax
-(half_size=36 -> 72x72, ref :183), and record which of the 15 annotated bird
-parts fall inside the box (only parts inside the image bbox count, and the
-box is intersected with the bbox region semantics of the protocol). A
-prototype is *consistent* if the same part is hit in >= part_thresh (0.8) of
-its class's images; the Consistency Score is the mean over all prototypes
-(ref: :309-337). Published reference scores: DeiT-Ti 82.65 / DeiT-S 31.30 /
-CaiT-XXS 71.45 (README.md:130-133).
+bicubic-upsample to 224, place a (2*half_size)^2 box at the argmax clamped
+to the image (half_size=36 -> 72x72, ref :183,:271-273), and record which of
+the 15 annotated bird parts fall inside the box — EVERY visible part counts;
+the bird bbox is never consulted (ref :247-253). Images go through a plain
+square ``Resize((224,224))`` with no crop (ref :173-176 —
+data.transforms.build_square_transform), and part coordinates rescale with
+int truncation (ref :251-253). A prototype is *consistent* if some part is
+hit in >= part_thresh (0.8) of the class images where that part is visible;
+the Consistency Score is the mean over all prototypes (ref: :309-337).
+Published reference scores: DeiT-Ti 82.65 / DeiT-S 31.30 / CaiT-XXS 71.45
+(README.md:130-133).
 
 Device/host split: the batched push_forward runs jitted on TPU; the
 per-image box/part matching is O(15) numpy work overlapped with the next
@@ -27,7 +30,8 @@ import numpy as np
 
 import jax
 
-from protopformer_tpu.data.local_parts import CubPartAnnotations, in_bbox
+from protopformer_tpu.data.local_parts import CubPartAnnotations
+from protopformer_tpu.data.preprocess import normalize_images
 from protopformer_tpu.tools.visualize import scatter_activations_to_grid
 
 
@@ -41,18 +45,21 @@ class ConsistencyConfig:
 
 def part_hits_for_image(
     act_maps: np.ndarray,  # (ppc, g, g) scattered grid activations
-    part_locs: List[Tuple[int, float, float]],  # visible (part_id, x, y)
-    bbox: Tuple[float, float, float, float],
-    scale_x: float,
-    scale_y: float,
+    part_locs: List[Tuple[int, int, int]],  # visible (part_id, int x, int y)
+    img_width: int,
+    img_height: int,
     cfg: ConsistencyConfig,
 ) -> Tuple[np.ndarray, np.ndarray]:
-    """Per-prototype part-hit rows for one image.
+    """Per-prototype part-hit rows for one image — protocol-exact port of the
+    reference's inner loop (ref: eval_interpretability.py:244-284).
 
-    Returns:
-      (hits (ppc, num_parts) 0/1, visible (num_parts,) 0/1) —
-      part coordinates are scaled from original image space to the
-      model's 224 input (ref: :244-259 coordinate rescale).
+    Every visible annotated part counts (the reference never filters by the
+    bird bbox, :247-253); coordinates are rescaled with int truncation
+    (``int(img_size * (x / w))``, :251-253); the 2*half_size activation box
+    is clamped to the image (:271-273); the hit test is the closed-interval
+    ``in_bbox`` (:279-282, local_parts.py:8-9).
+
+    Returns (hits (ppc, num_parts) 0/1, visible (num_parts,) 0/1).
     """
     import cv2
 
@@ -61,20 +68,26 @@ def part_hits_for_image(
     visible = np.zeros((cfg.num_parts,), np.float32)
     scaled_parts = []
     for part_id, x, y in part_locs:
-        if in_bbox(x, y, bbox):
-            visible[part_id - 1] = 1.0
-            scaled_parts.append((part_id - 1, x * scale_x, y * scale_y))
+        visible[part_id - 1] = 1.0
+        scaled_parts.append((
+            part_id - 1,
+            int(cfg.img_size * (x / img_width)),
+            int(cfg.img_size * (y / img_height)),
+        ))
 
     for j in range(ppc):
         up = cv2.resize(
             act_maps[j], (cfg.img_size, cfg.img_size),
             interpolation=cv2.INTER_CUBIC,
         )
+        # row-major first max == np.where(up == up.max())[...][0] (ref :270)
         cy, cx = np.unravel_index(np.argmax(up), up.shape)
-        y0, y1 = cy - cfg.half_size, cy + cfg.half_size
-        x0, x1 = cx - cfg.half_size, cx + cfg.half_size
+        y0 = max(0, cy - cfg.half_size)
+        y1 = min(cfg.img_size, cy + cfg.half_size)
+        x0 = max(0, cx - cfg.half_size)
+        x1 = min(cfg.img_size, cx + cfg.half_size)
         for pid, px, py in scaled_parts:
-            if x0 <= px <= x1 and y0 <= py <= y1:
+            if y0 <= py <= y1 and x0 <= px <= x1:
                 hits[j, pid] = 1.0
     return hits, visible
 
@@ -93,8 +106,11 @@ def consistency_score(
     """Consistency Score over a test loader (ref: :190-337).
 
     Args:
-      loader: yields batches with 'image', 'label', 'valid', and
-        'position' (index into image_ids, so padded samples are skipped).
+      loader: yields batches with 'image' ([0,1] floats from the SQUARE
+        resize transform — data.transforms.build_square_transform, matching
+        ref :173-176; normalization happens on device here), 'label',
+        'valid', and 'position' (index into image_ids, so padded samples
+        are skipped).
       image_ids: dataset-native CUB ids aligned with loader order.
       image_sizes: id -> (width, height) of the ORIGINAL image.
     """
@@ -103,16 +119,18 @@ def consistency_score(
     P = ppnet_cfg.num_prototypes
     num_classes = ppnet_cfg.num_classes
 
+    # on-device ImageNet normalize of the [0,1] host batch (the reference
+    # normalizes inside its eval transform — eval_interpretability.py:170-176)
     push = jax.jit(
         lambda p, im: model.apply(
-            {"params": p}, im, method=lambda m, x: m.push_forward(x)
+            {"params": p}, normalize_images(im),
+            method=lambda m, x: m.push_forward(x),
         )
     )
 
     # per-prototype accumulators
     hit_sum = np.zeros((P, cfg.num_parts), np.float64)
     vis_sum = np.zeros((P, cfg.num_parts), np.float64)
-    img_count = np.zeros((P,), np.float64)
 
     seen = 0
     for batch in loader:
@@ -142,25 +160,31 @@ def consistency_score(
             hits, vis = part_hits_for_image(
                 grid[b],
                 annotations.id_to_part_loc[img_id],
-                annotations.id_to_bbox[img_id],
-                cfg.img_size / w,
-                cfg.img_size / h,
+                w,
+                h,
                 cfg,
             )
             base = labels[b] * ppc
             hit_sum[base:base + ppc] += hits
             vis_sum[base:base + ppc] += vis[None, :]
-            img_count[base:base + ppc] += 1
             seen += 1
         if logger is not None and seen % 500 < B:
             logger.info(f"consistency eval: {seen} images")
 
-    # a prototype is consistent if some part is hit in >= part_thresh of the
-    # images where that part is visible (ref: :313-329)
-    with np.errstate(invalid="ignore", divide="ignore"):
-        rates = np.where(vis_sum > 0, hit_sum / np.maximum(vis_sum, 1), 0.0)
-    effective = (rates >= cfg.part_thresh).any(axis=1) & (img_count > 0)
-    score = 100.0 * float(effective.mean())
+    score = aggregate_score(hit_sum, vis_sum, cfg.part_thresh)
     if logger is not None:
         logger.info(f"Consistency Score: {score:.2f} over {P} prototypes")
     return score
+
+
+def aggregate_score(
+    hit_sum: np.ndarray,  # (P, num_parts) per-prototype part-hit counts
+    vis_sum: np.ndarray,  # (P, num_parts) per-part visible-image counts
+    part_thresh: float = 0.8,
+) -> float:
+    """Reference aggregation (ref: :313-337): per prototype, part hit rate =
+    hits / visible-count (zero counts clamped to 1, :320-321); a prototype is
+    effective iff some part's rate >= part_thresh; score = mean * 100."""
+    rates = hit_sum / np.where(vis_sum == 0, 1.0, vis_sum)
+    effective = (rates >= part_thresh).any(axis=1)
+    return 100.0 * float(effective.mean())

@@ -158,13 +158,17 @@ def visualize_prototypes(
     """Write heatmaps/bboxes/masks for each class's local prototypes.
 
     Args:
-      loader_pairs: yields (normalized batch dict, matching uint8 view
+      loader_pairs: yields ([0,1] float batch dict, matching uint8 view
         images (B, H, W, 3)) — the reference's paired noaug/view loaders
-        (main_visualize.py:223-267).
+        (main_visualize.py:223-267). ImageNet normalization happens on
+        device here (the reference's noaug loader normalizes on host,
+        tools/datasets.py:158-163).
 
     Returns list of written file paths.
     """
     import cv2
+
+    from protopformer_tpu.data.preprocess import normalize_images
 
     os.makedirs(vis_cfg.output_dir, exist_ok=True)
     ppc = ppnet_cfg.num_prototypes_per_class
@@ -172,7 +176,8 @@ def visualize_prototypes(
 
     push = jax.jit(
         lambda p, im: model.apply(
-            {"params": p}, im, method=lambda m, x: m.push_forward(x)
+            {"params": p}, normalize_images(im),
+            method=lambda m, x: m.push_forward(x),
         )
     )
 

@@ -68,6 +68,9 @@ def make_optimizer(
                 )
             return tx
         if cfg.opt in ("sgd", "nesterov"):
+            # the reference enables Nesterov for BOTH spellings:
+            # `if opt_lower == 'sgd' or opt_lower == 'nesterov': ...
+            # optim.SGD(..., nesterov=True)` (ref: create_optimizer.py:86-88)
             return optax.chain(
                 optax.add_decayed_weights(weight_decay),
                 optax.sgd(schedule, momentum=cfg.momentum, nesterov=True),

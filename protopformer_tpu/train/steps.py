@@ -20,6 +20,7 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from protopformer_tpu.core.config import OptimConfig, PPNetConfig
+from protopformer_tpu.data.preprocess import normalize_images
 from protopformer_tpu.ops.ppc import ppc_loss
 from protopformer_tpu.train.state import TrainState
 
@@ -52,6 +53,7 @@ def make_train_step(
     mixup=None,
     mesh: Optional[Mesh] = None,
     donate: bool = True,
+    normalize: bool = True,
 ) -> Callable:
     """Build the jitted train step.
 
@@ -59,8 +61,16 @@ def make_train_step(
       (state, batch {'image': (B,H,W,C), 'label': (B,) or (B,cls)},
        rng, ppc_gate scalar) -> (state, metrics dict)
 
+    ``normalize``: ImageNet-normalize the batch images on device. The host
+    pipeline emits raw [0,1] float RGB (data/transforms.py contract); the
+    reference normalizes on the host inside every transform stack
+    (ref: tools/datasets.py:333-334, tools/preprocess.py:3-17). Disable only
+    for unit tests that feed pre-normalized feature-space tensors.
+
     ``mixup``: optional data.mixup.MixupCutmix applied on-device inside the
     step (ref wires timm Mixup in the loop body — tools/engine_proto.py:45-46).
+    Mixup runs on the raw images; normalize is affine, so the order is
+    equivalent to the reference's normalize-then-mix.
 
     With ``mesh`` given, the step is jitted with state/rng replicated and the
     batch sharded on the data axis; XLA inserts gradient all-reduces.
@@ -74,10 +84,13 @@ def make_train_step(
         if mixup is not None:
             mix_rng = jax.random.fold_in(step_rng, 7)
             batch = mixup(mix_rng, batch)
+        images = (
+            normalize_images(batch["image"]) if normalize else batch["image"]
+        )
 
         def loss_fn(params):
             out = model.apply(
-                {"params": params}, batch["image"], train=True,
+                {"params": params}, images, train=True,
                 rngs={"droppath": drop_rng, "dropout": dropout_rng},
             )
             ce = cross_entropy_loss(out.logits, batch["label"], smoothing)
@@ -132,16 +145,22 @@ def make_eval_step(
     model,
     use_global: bool = True,
     mesh: Optional[Mesh] = None,
+    normalize: bool = True,
 ) -> Callable:
     """Build the jitted eval step.
 
     Returns per-batch sums (correct counts + loss sums) so the host can
     aggregate exactly over a ragged last batch; mirrors evaluate's acc1/acc5
     + per-branch accuracy metrics (ref: tools/engine_proto.py:143-185).
+    ``normalize``: on-device ImageNet normalize of the [0,1] host batch
+    (ref transform contract: tools/datasets.py:322-335).
     """
 
     def eval_step(params, batch):
-        out = model.apply({"params": params}, batch["image"], train=False)
+        images = (
+            normalize_images(batch["image"]) if normalize else batch["image"]
+        )
+        out = model.apply({"params": params}, images, train=False)
         labels = batch["label"]
         valid = batch.get(
             "valid", jnp.ones(labels.shape[0], dtype=jnp.float32)

@@ -162,7 +162,9 @@ class RefPPNet(nn.Module):
     def _sim(self, d):
         return torch.log((d + 1) / (d + self.epsilon))
 
-    def forward(self, x):
+    def _trunk(self, x):
+        """Shared eval trunk: (img tokens (B,K,P_dim), cls (B,1,P_dim),
+        cls_token_attn) after add-on projection."""
         cls_embed, x_embed = self.features.embed_all(x)
         t, cls_token_attn = self.features.masked_forward(
             cls_embed, x_embed, self.reserve_layer_nums, self.discard_ratio
@@ -178,7 +180,16 @@ class RefPPNet(nn.Module):
         proj = lambda z: sig(  # noqa: E731
             torch.einsum("bkc,pc->bkp", z, conv.weight[:, :, 0, 0]) + conv.bias
         )
-        img, cls_t = proj(img), proj(cls_t)
+        return proj(img), proj(cls_t), cls_token_attn
+
+    def push_forward(self, x):
+        """Offline-analysis forward (ref: protopformer.py:337-344):
+        (cls_token_attn, local log-sim activation maps (B, P, K))."""
+        img, _, cls_token_attn = self._trunk(x)
+        return cls_token_attn, self._sim(self._dist(img, self.prototype_vectors))
+
+    def forward(self, x):
+        img, cls_t, cls_token_attn = self._trunk(x)
 
         d_local = self._dist(img, self.prototype_vectors)  # (B, P, K)
         acts_local = self._sim(d_local).amax(dim=-1)  # (B, P)

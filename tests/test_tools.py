@@ -102,16 +102,105 @@ def test_part_hits_for_image():
     maps[0, 0, 0] = 1.0  # argmax upsamples near (0, 0)
     maps[1, 3, 3] = 1.0  # near (223, 223)
     cfg = ConsistencyConfig(half_size=36, img_size=224)
-    parts = [(1, 10.0, 10.0), (2, 500.0, 500.0), (3, 0.0, 0.0)]
-    bbox = (0.0, 0.0, 600.0, 600.0)
-    hits, visible = part_hits_for_image(
-        maps, parts, bbox, 224 / 600, 224 / 600, cfg
-    )
+    parts = [(1, 10, 10), (2, 500, 500), (3, 0, 0)]
+    hits, visible = part_hits_for_image(maps, parts, 600, 600, cfg)
     assert visible[:3].tolist() == [1.0, 1.0, 1.0]
     assert hits[0, 0] == 1.0 and hits[0, 2] == 1.0  # parts near origin
     assert hits[0, 1] == 0.0
     assert hits[1, 1] == 1.0  # part near the far corner
     assert hits[1, 0] == 0.0
+
+
+def _reference_score_port(act_grids, labels, part_locs_by_img, sizes,
+                          ppc, num_classes, cfg):
+    """Straight-line numpy port of the reference scoring loop
+    (ref: eval_interpretability.py:229-337), used as the protocol oracle."""
+    import cv2
+
+    class_proto_effect = []
+    proto_to_part_all = {}
+    for c in range(num_classes):
+        idxs = np.nonzero(labels == c)[0]
+        all_ptp, all_mask = [], []
+        for i in idxs:
+            w, h = sizes[i]
+            part_labels, part_mask = [], np.zeros(15)
+            for part_id, x, y in part_locs_by_img[i]:
+                pid = part_id - 1
+                part_mask[pid] = 1
+                part_labels.append(
+                    [pid, int(cfg.img_size * (x / w)),
+                     int(cfg.img_size * (y / h))]
+                )
+            ptp = np.zeros((ppc, 15))
+            for j in range(ppc):
+                up = cv2.resize(
+                    act_grids[i, j], dsize=(cfg.img_size, cfg.img_size),
+                    interpolation=cv2.INTER_CUBIC,
+                )
+                mi = np.where(up == up.max())
+                mi = (mi[0][0], mi[1][0])
+                box = (max(0, mi[0] - cfg.half_size),
+                       min(cfg.img_size, mi[0] + cfg.half_size),
+                       max(0, mi[1] - cfg.half_size),
+                       min(cfg.img_size, mi[1] + cfg.half_size))
+                for pid, lx, ly in part_labels:
+                    if box[0] <= ly <= box[1] and box[2] <= lx <= box[3]:
+                        ptp[j, pid] = 1
+            all_ptp.append(ptp)
+            all_mask.append(part_mask)
+            proto_to_part_all[int(i)] = ptp
+        all_ptp = np.stack(all_ptp).transpose(1, 0, 2)
+        all_mask = np.stack(all_mask)
+        for j in range(ppc):
+            s = all_ptp[j].sum(axis=0)
+            ms = all_mask.sum(axis=0)
+            ms = np.where(ms == 0, ms + 1, ms)
+            class_proto_effect.append(
+                1 if ((s / ms) >= cfg.part_thresh).astype(np.int32).sum()
+                else 0
+            )
+    return 100.0 * float(np.mean(class_proto_effect)), proto_to_part_all
+
+
+def test_consistency_protocol_matches_reference_port():
+    """part_hits_for_image + aggregate_score must produce bit-identical
+    per-image hit matrices AND the identical final score vs the straight
+    numpy port of the reference loop on a random synthetic fixture."""
+    from protopformer_tpu.tools.eval_interpretability import aggregate_score
+
+    rng = np.random.default_rng(1028)
+    n_img, ppc, num_classes, g = 16, 2, 4, 14
+    cfg = ConsistencyConfig(half_size=36, img_size=224, part_thresh=0.8)
+    act_grids = rng.normal(size=(n_img, ppc, g, g)).astype(np.float32)
+    labels = (np.arange(n_img) % num_classes).astype(np.int64)
+    sizes = [(int(rng.integers(100, 640)), int(rng.integers(100, 640)))
+             for _ in range(n_img)]
+    part_locs = {}
+    for i in range(n_img):
+        w, h = sizes[i]
+        vis = rng.choice(15, size=rng.integers(3, 15), replace=False)
+        part_locs[i] = [
+            (int(p) + 1, int(rng.integers(0, w)), int(rng.integers(0, h)))
+            for p in vis
+        ]
+
+    want_score, want_ptp = _reference_score_port(
+        act_grids, labels, part_locs, sizes, ppc, num_classes, cfg
+    )
+
+    P = num_classes * ppc
+    hit_sum = np.zeros((P, 15))
+    vis_sum = np.zeros((P, 15))
+    for i in range(n_img):
+        w, h = sizes[i]
+        hits, vis = part_hits_for_image(act_grids[i], part_locs[i], w, h, cfg)
+        np.testing.assert_array_equal(hits, want_ptp[i])
+        base = labels[i] * ppc
+        hit_sum[base:base + ppc] += hits
+        vis_sum[base:base + ppc] += vis[None, :]
+    got_score = aggregate_score(hit_sum, vis_sum, cfg.part_thresh)
+    assert got_score == want_score
 
 
 def test_consistency_score_synthetic(rng):
