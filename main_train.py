@@ -222,9 +222,7 @@ def main(args) -> dict:
 
     from protopformer_tpu.checkpoint.manager import CheckpointManager
     from protopformer_tpu.checkpoint.torch_convert import (
-        convert_deit_state_dict,
-        convert_cait_state_dict,
-        load_torch_checkpoint,
+        load_pretrained_backbone,
     )
     from protopformer_tpu.data import (
         HostDataLoader,
@@ -299,16 +297,10 @@ def main(args) -> dict:
         rng, jnp.zeros((1, img_size, img_size, 3))
     )["params"]
     if args.pretrained_ckpt:
-        sd = load_torch_checkpoint(args.pretrained_ckpt)
-        conv = (
-            convert_deit_state_dict(sd, cfg.backbone.depth,
-                                    cfg.backbone.num_patches)
-            if cfg.backbone.arch == "deit"
-            else convert_cait_state_dict(sd, cfg.backbone.depth,
-                                         cfg.backbone.depth_token_only)
-        )
         params = dict(params)
-        params["features"] = conv
+        params["features"] = load_pretrained_backbone(
+            args.pretrained_ckpt, cfg.backbone
+        )
         logger.info(f"loaded pretrained backbone from {args.pretrained_ckpt}")
 
     steps_per_epoch = len(train_loader)

@@ -103,12 +103,17 @@ def resize_pos_embed(
 
 
 def convert_deit_state_dict(
-    sd: Mapping[str, Any], depth: int, num_patches: Optional[int] = None
+    sd: Mapping[str, Any],
+    depth: int,
+    num_patches: Optional[int] = None,
+    include_heads: bool = False,
 ) -> Tree:
     """timm DeiT/ViT state dict -> DeiTBackbone params tree.
 
-    Ignores classifier heads (the reference deletes ``head`` —
-    deit_models_attn.py:97 — and loads with strict=False).
+    ``include_heads=False`` (default) drops the classifier heads that every
+    real timm checkpoint carries — the reference deletes ``head`` and loads
+    with strict=False (deit_models_attn.py:97, :292-296); the plain
+    ``DeiTBackbone`` has no head module. Pass True for ``DistilledDeiT``.
     """
     num_prefix = 2 if "dist_token" in sd else 1
     pos_embed = _t(sd["pos_embed"])
@@ -123,9 +128,10 @@ def convert_deit_state_dict(
     # distilled variants (ref: deit_models_attn.py:243-282)
     if "dist_token" in sd:
         params["dist_token"] = _t(sd["dist_token"])
-    for head in ("head", "head_dist"):
-        if f"{head}.weight" in sd:
-            params[head] = _linear(sd, head)
+    if include_heads:
+        for head in ("head", "head_dist"):
+            if f"{head}.weight" in sd:
+                params[head] = _linear(sd, head)
     for i in range(depth):
         p = f"blocks.{i}"
         params[f"blocks_{i}"] = {
@@ -194,6 +200,25 @@ def convert_cait_state_dict(
             },
         }
     return params
+
+
+def load_pretrained_backbone(path: str, backbone_cfg) -> Tree:
+    """One-call pretrained ingestion (the ``--pretrained_ckpt`` path):
+    deserialize a timm/FB ``.pth`` from disk, unwrap ``{"model": ...}`` /
+    ``module.`` conventions, convert to the backbone params tree, and
+    bicubic-resize the pos-embed if the configured input size differs
+    (replaces the reference's torch.hub download + strict=False load —
+    ref: tools/deit_features.py:26-62, deit_models_attn.py:292-296)."""
+    sd = load_torch_checkpoint(path)
+    if backbone_cfg.arch == "deit":
+        return convert_deit_state_dict(
+            sd, backbone_cfg.depth, backbone_cfg.num_patches
+        )
+    if backbone_cfg.arch == "cait":
+        return convert_cait_state_dict(
+            sd, backbone_cfg.depth, backbone_cfg.depth_token_only
+        )
+    raise ValueError(f"unknown backbone arch: {backbone_cfg.arch}")
 
 
 def convert_ppnet_state_dict(

@@ -15,7 +15,21 @@ else
     reserve_layer_idx=11
 fi
 
+# Pretrained backbone: the reference fine-tunes FB-hosted timm weights
+# (ref: tools/deit_features.py:12-21, deit_models_attn.py:292-296). This
+# environment has no egress, so place the .pth at pretrained/$model.pth
+# (or set PRETRAINED_CKPT=/path/to.pth); it is converted and loaded at
+# startup. Without it, training starts from random init (warned).
+pretrained=${PRETRAINED_CKPT:-pretrained/$model.pth}
+if [ -f "$pretrained" ]; then
+    pretrained_arg="--pretrained_ckpt=$pretrained"
+else
+    echo "WARNING: no pretrained checkpoint at $pretrained - training from random init" >&2
+    pretrained_arg=""
+fi
+
 python main_train.py \
+    $pretrained_arg \
     --base_architecture=$model \
     --data_set=CUB2011U \
     --data_path=${DATA_PATH:-datasets/cub200_cropped} \

@@ -227,3 +227,57 @@ def test_deit_tiny_real_scale_parity():
         np.asarray(got_attn), cls_attn.numpy(), atol=1e-5
     )
     np.testing.assert_allclose(np.asarray(got_t), t.numpy(), atol=2e-4)
+
+
+def test_deit_tiny_bf16_speed_mode_selection_contract():
+    """Quantified selection contract for the SHIPPED bench configuration
+    (compute_dtype=bfloat16 — bench.py, script presets) at production shape.
+
+    bf16 block compute quantizes the attention probabilities feeding the
+    (fp32) rollout, so the top-81 set is NOT bit-identical to the fp32
+    reference — writing this test disproved the round-1 DESIGN.md prose
+    claim. (The reference itself evaluates under AMP autocast —
+    engine_proto.py:48 — so bit-identical fp32 selection is not its
+    behavior either; exact parity is covered by the fp32-mode test above.)
+    The honest, measured contract pinned here:
+      * >= 74/81 overlap with the fp32 selection per sample, and
+      * every dropped token sits in the borderline tail (fp32 rank >= 64)
+        — a confidently-foreground token is never lost.
+    Measured at random init (the adversarial case — trained rollouts are
+    peakier): overlaps 76-81/81, dropped ranks all >= 68."""
+    torch.manual_seed(3)
+    ref = RefDeiT(img_size=224, patch_size=16, dim=192, depth=12, heads=3)
+    ref = ref.eval()
+    sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+    params = convert_deit_state_dict(sd, depth=12)
+    model = DeiTBackbone(
+        BackboneConfig(
+            name="deit_tiny_patch16_224", arch="deit",
+            embed_dim=192, depth=12, num_heads=3, drop_path_rate=0.0,
+        ),
+        compute_dtype=jnp.bfloat16,
+    )
+    rng = np.random.default_rng(11)
+    batch = rng.normal(size=(4, 3, 224, 224)).astype(np.float32)
+
+    with torch.no_grad():
+        _, cls_attn = ref.masked_forward(
+            *ref.embed_all(torch.from_numpy(batch)), [(11, 81)], 0.9
+        )
+    _, got_attn = model.apply(
+        {"params": params}, jnp.asarray(batch.transpose(0, 2, 3, 1)),
+        method=lambda m, x: m.masked_forward(*m.embed_all(x), [(11, 81)]),
+    )
+    fp32_order = np.argsort(-cls_attn.numpy(), axis=-1)
+    ji = np.argsort(-np.asarray(got_attn, np.float32), axis=-1)[:, :81]
+    for b in range(batch.shape[0]):
+        want = set(fp32_order[b, :81])
+        got = set(ji[b])
+        overlap = len(want & got)
+        assert overlap >= 74, f"sample {b}: only {overlap}/81 overlap"
+        rank_of = {tok: r for r, tok in enumerate(fp32_order[b])}
+        dropped_ranks = sorted(rank_of[t] for t in want - got)
+        assert all(r >= 64 for r in dropped_ranks), (
+            f"sample {b}: bf16 dropped a confident token "
+            f"(fp32 ranks {dropped_ranks})"
+        )

@@ -1,0 +1,145 @@
+"""Pretrained-checkpoint ingestion from real serialized ``.pth`` files.
+
+The reference fine-tunes FB-hosted timm weights downloaded at model build
+(ref: tools/deit_features.py:26-62, deit_models_attn.py:292-296). This
+environment has no egress, so these tests exercise the exact on-disk
+ingestion path with fixtures that replicate the real artifacts' structure:
+torch's zip serialization, the FB ``{"model": state_dict}`` wrapper, the
+classifier ``head`` keys every timm checkpoint carries (dropped on load,
+like the reference's ``del self.head`` + strict=False), and DataParallel's
+``module.`` key prefix. Conversion math itself is parity-tested in
+tests/test_parity.py; here the surface is the FILE -> params pipeline used
+by ``--pretrained_ckpt`` (scripts/train_*.sh wiring).
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import torch
+import pytest
+
+from protopformer_tpu.core.config import BackboneConfig, PPNetConfig
+from protopformer_tpu.checkpoint import load_pretrained_backbone
+from protopformer_tpu.models import DeiTBackbone, construct_ppnet
+from tests.torch_reference import RefDeiT
+
+BK = BackboneConfig(
+    name="tiny-test", arch="deit", img_size=32, patch_size=8,
+    embed_dim=24, depth=3, num_heads=2, drop_path_rate=0.0,
+    rollout_discard_ratio=0.0,
+)
+
+
+def _fb_style_checkpoint(ref: RefDeiT) -> dict:
+    """Replicate a dl.fbaipublicfiles.com deit checkpoint: the state dict
+    (with classifier head) wrapped under a 'model' key."""
+    sd = ref.state_dict()
+    sd["head.weight"] = torch.randn(1000, 24)
+    sd["head.bias"] = torch.randn(1000)
+    return {"model": sd, "epoch": 300, "args": {"note": "non-tensor junk"}}
+
+
+@pytest.fixture(scope="module")
+def oracle():
+    torch.manual_seed(1028)
+    return RefDeiT(img_size=32, patch_size=8, dim=24, depth=3, heads=2).eval()
+
+
+def test_ingest_fb_wrapped_pth(tmp_path, oracle):
+    """torch.save'd {'model': sd+head} file -> converted params -> forward
+    parity vs the torch oracle; head keys must be dropped."""
+    path = str(tmp_path / "deit_tiny_fixture.pth")
+    torch.save(_fb_style_checkpoint(oracle), path)
+
+    params = load_pretrained_backbone(path, BK)
+    assert "head" not in params and "head_dist" not in params
+
+    rng = np.random.default_rng(3)
+    batch = rng.normal(size=(2, 3, 32, 32)).astype(np.float32)
+    with torch.no_grad():
+        want_t, want_attn = oracle.masked_forward(
+            *oracle.embed_all(torch.from_numpy(batch)), [(2, 9)], 0.0
+        )
+    model = DeiTBackbone(BK)
+    got_t, got_attn = model.apply(
+        {"params": params}, jnp.asarray(batch.transpose(0, 2, 3, 1)),
+        method=lambda m, x: m.masked_forward(*m.embed_all(x), [(2, 9)]),
+    )
+    np.testing.assert_allclose(
+        np.asarray(got_attn), want_attn.numpy(), atol=1e-5
+    )
+    np.testing.assert_allclose(np.asarray(got_t), want_t.numpy(), atol=1e-4)
+
+
+def test_ingest_module_prefixed_flat_pth(tmp_path, oracle):
+    """DataParallel-style 'module.'-prefixed flat dict (the reference strips
+    it at load — cait_models_attn.py:348-354)."""
+    sd = {f"module.{k}": v for k, v in oracle.state_dict().items()}
+    path = str(tmp_path / "dp_fixture.pth")
+    torch.save(sd, path)
+    got = load_pretrained_backbone(path, BK)
+
+    want_sd = {k: v.detach().numpy() for k, v in oracle.state_dict().items()}
+    from protopformer_tpu.checkpoint import convert_deit_state_dict
+
+    want = convert_deit_state_dict(want_sd, depth=3)
+    for (kp, a), (_, b) in zip(
+        jax.tree_util.tree_flatten_with_path(got)[0][:5],
+        jax.tree_util.tree_flatten_with_path(want)[0][:5],
+    ):
+        np.testing.assert_array_equal(a, b, err_msg=str(kp))
+    assert jax.tree_util.tree_structure(got) == \
+        jax.tree_util.tree_structure(want)
+
+
+def test_ingest_with_pos_embed_resize(tmp_path, oracle):
+    """Loading a 32px checkpoint into a 64px config must bicubic-resize the
+    pos-embed grid (live port of the reference's dead resizer,
+    deit_features.py:40-58) and produce a runnable model."""
+    path = str(tmp_path / "fixture.pth")
+    torch.save(_fb_style_checkpoint(oracle), path)
+    big = BackboneConfig(
+        name="tiny-64", arch="deit", img_size=64, patch_size=8,
+        embed_dim=24, depth=3, num_heads=2, drop_path_rate=0.0,
+        rollout_discard_ratio=0.0,
+    )
+    params = load_pretrained_backbone(path, big)
+    assert params["pos_embed"].shape == (1, 65, 24)
+    # CLS slot is untouched by the grid resize
+    np.testing.assert_array_equal(
+        params["pos_embed"][0, 0],
+        oracle.state_dict()["pos_embed"].numpy()[0, 0],
+    )
+    model = DeiTBackbone(big)
+    x = jnp.zeros((1, 64, 64, 3))
+    t, attn = model.apply(
+        {"params": params}, x,
+        method=lambda m, v: m.masked_forward(*m.embed_all(v), [(2, 9)]),
+    )
+    assert np.isfinite(np.asarray(t)).all()
+
+
+def test_ppnet_accepts_ingested_backbone(tmp_path, oracle):
+    """The exact --pretrained_ckpt code path: init PPNet, swap in the
+    converted features subtree, forward must run (catches key-layout drift
+    between the converter and the flax module tree)."""
+    path = str(tmp_path / "fixture.pth")
+    torch.save(_fb_style_checkpoint(oracle), path)
+    pp = PPNetConfig(
+        prototype_shape=(40, 16, 1, 1), num_classes=4,
+        reserve_layers=(2,), reserve_token_nums=(9,),
+        use_global=True, global_proto_per_class=3,
+    )
+    model = construct_ppnet(BK, pp)
+    params = dict(model.init(jax.random.key(0), jnp.zeros((1, 32, 32, 3)))["params"])
+    converted = load_pretrained_backbone(path, BK)
+    # the converted tree must line up with the initialized structure exactly
+    assert jax.tree_util.tree_structure(converted) == \
+        jax.tree_util.tree_structure(dict(params["features"]))
+    params["features"] = converted
+    out = model.apply(
+        {"params": params},
+        jnp.asarray(np.random.default_rng(0).uniform(
+            size=(2, 32, 32, 3)).astype(np.float32)),
+    )
+    assert np.isfinite(np.asarray(out.logits)).all()
