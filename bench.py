@@ -85,5 +85,65 @@ def main(_retries: int = 2):
     )
 
 
+def bench_host(n_images: int = 512, size=(500, 375), num_workers: int = 8):
+    """Host data-pipeline line rate (img/s) for the PIL and native C++
+    eval paths on CUB-resolution JPEGs. Run: ``python bench.py host``.
+    (The device target is ~25k img/s/chip; the host must keep up across
+    its worker threads — SURVEY hard part #7.)"""
+    import os
+    import tempfile
+
+    from PIL import Image
+
+    from protopformer_tpu.data import native
+    from protopformer_tpu.data.datasets import DatasetIndex
+    from protopformer_tpu.data.loader import HostDataLoader
+    from protopformer_tpu.data.transforms import build_eval_transform
+
+    rng = np.random.default_rng(0)
+    with tempfile.TemporaryDirectory() as td:
+        paths = []
+        ys, xs = np.mgrid[0:size[1], 0:size[0]]
+        base = np.stack([ys * 255 / size[1], xs * 255 / size[0],
+                         (ys + xs) * 127 / (size[0] + size[1])], -1)
+        for i in range(n_images):
+            img = np.clip(base + rng.normal(0, 8, base.shape), 0, 255)
+            p = os.path.join(td, f"{i}.jpg")
+            Image.fromarray(img.astype(np.uint8)).save(p, "JPEG", quality=90)
+            paths.append(p)
+        index = DatasetIndex(paths=paths,
+                             labels=np.zeros(n_images, np.int32),
+                             num_classes=1)
+
+        def rate(path_transform):
+            loader = HostDataLoader(
+                index, build_eval_transform(224), batch_size=64,
+                shuffle=False, num_workers=num_workers,
+                path_transform=path_transform,
+            )
+            t0 = time.perf_counter()
+            n = sum(int(b["valid"].sum()) for b in loader)
+            return n / (time.perf_counter() - t0)
+
+        pil_rate = rate(None)
+        nat_rate = (
+            rate(native.build_native_eval_transform(224))
+            if native.is_available() else 0.0
+        )
+    print(json.dumps({
+        "metric": "host_eval_decode_line_rate",
+        "value": round(nat_rate or pil_rate, 1),
+        "unit": "images/sec",
+        "vs_baseline": round((nat_rate or pil_rate) / max(pil_rate, 1e-9), 3),
+        "pil_img_per_sec": round(pil_rate, 1),
+        "native_img_per_sec": round(nat_rate, 1),
+    }))
+
+
 if __name__ == "__main__":
-    main()
+    import sys
+
+    if len(sys.argv) > 1 and sys.argv[1] == "host":
+        bench_host()
+    else:
+        main()

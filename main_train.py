@@ -130,6 +130,10 @@ def get_args_parser() -> argparse.ArgumentParser:
                    help=".pth with timm backbone weights to convert+load")
     p.add_argument("--compute_dtype", default="bfloat16",
                    choices=["bfloat16", "float32"])
+    p.add_argument("--native_decode", type=str2bool, default=False,
+                   help="decode+resize eval JPEGs with the native C++ "
+                        "pipeline (native/image_pipeline.cpp); per-sample "
+                        "PIL fallback for non-JPEG files")
     return p
 
 
@@ -282,11 +286,22 @@ def main(args) -> dict:
         seed=cfg.train.seed, drop_last=True,
         num_workers=cfg.data.num_workers, mesh=mesh,
     )
+    eval_path_tf = None
+    if args.native_decode:
+        from protopformer_tpu.data import native
+
+        if native.is_available():
+            eval_path_tf = native.build_native_eval_transform(img_size)
+            logger.info("native C++ decode enabled for the eval pipeline")
+        else:
+            logger.warning("--native_decode requested but libppf_image is "
+                           "unavailable; using PIL")
     # val batch = 1.5x train batch (ref: main.py:312), device-divisible
     val_loader = HostDataLoader(
         val_index, eval_tf, _round_to_devices(int(1.5 * cfg.data.batch_size)),
         shuffle=False, seed=cfg.train.seed,
         num_workers=cfg.data.num_workers, mesh=mesh,
+        path_transform=eval_path_tf,
     )
     logger.info(
         f"train: {len(train_index)} samples / val: {len(val_index)} samples"

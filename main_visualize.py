@@ -33,7 +33,12 @@ def get_args():
                    default=list(range(10)))
     p.add_argument("--imgs_per_class", type=int, default=20)
     p.add_argument("--use_gauss", action="store_true")
-    p.add_argument("--visual_type", type=str, default="slim_gaussian")
+    p.add_argument("--visual_type", type=str, default="heatmap",
+                   choices=["heatmap", "slim_gaussian"],
+                   help="reference default 'heatmap' writes only the "
+                        "optional Gaussian figures; 'slim_gaussian' writes "
+                        "the full overlay/bbox/mask set "
+                        "(ref: main_visualize.py:143,440)")
     p.add_argument("--batch_size", type=int, default=64)
     p.add_argument("--seed", type=int, default=1028)
     return p.parse_args()

@@ -172,20 +172,18 @@ void bicubic_resize(const uint8_t* src, int src_w, int src_h,
       trow[ox * 3 + 2] = b;
     }
   }
-  // vertical pass
+  // vertical pass: accumulate whole rows (contiguous, auto-vectorizes)
+  const int row_n = out_w * 3;
   for (int oy = 0; oy < out_h; ++oy) {
     const int* ii = &ty.idx[static_cast<size_t>(oy) * ty.ntaps];
     const float* ww = &ty.wgt[static_cast<size_t>(oy) * ty.ntaps];
-    float* drow = dst + static_cast<size_t>(oy) * out_w * 3;
-    for (int ox = 0; ox < out_w; ++ox) {
-      for (int c = 0; c < 3; ++c) {
-        float acc = 0.0f;
-        for (int t = 0; t < ty.ntaps; ++t) {
-          acc += ww[t] *
-                 tmp[(static_cast<size_t>(ii[t]) * out_w + ox) * 3 + c];
-        }
-        drow[ox * 3 + c] = acc;
-      }
+    float* drow = dst + static_cast<size_t>(oy) * row_n;
+    std::fill(drow, drow + row_n, 0.0f);
+    for (int t = 0; t < ty.ntaps; ++t) {
+      const float w = ww[t];
+      if (w == 0.0f) continue;
+      const float* srow = tmp.data() + static_cast<size_t>(ii[t]) * row_n;
+      for (int x = 0; x < row_n; ++x) drow[x] += w * srow[x];
     }
   }
 }

@@ -58,7 +58,13 @@ class HostDataLoader:
         num_workers: int = 8,
         mesh=None,
         prefetch: int = 2,
+        path_transform: Optional[Callable] = None,
     ):
+        """``path_transform``: optional (path, rng) -> float array fast path
+        that decodes straight from the file (the native C++ pipeline,
+        data/native.py). Used instead of PIL ``transform`` for path-backed
+        samples; falls back to PIL per-sample on decode errors (non-JPEG
+        files), warning once."""
         self.index = index
         self.transform = transform
         self.batch_size = batch_size
@@ -68,6 +74,8 @@ class HostDataLoader:
         self.num_workers = max(1, num_workers)
         self.mesh = mesh
         self.prefetch = prefetch
+        self.path_transform = path_transform
+        self._warned_fallback = False
         self.epoch = 0
 
     def set_epoch(self, epoch: int) -> None:
@@ -93,6 +101,20 @@ class HostDataLoader:
         def one(args):
             pos, i = args
             rng = np.random.default_rng((self.seed, self.epoch, int(i)))
+            if self.path_transform is not None and self.index.images is None:
+                try:
+                    return pos, self.path_transform(
+                        self.index.paths[int(i)], rng
+                    )
+                except Exception as e:
+                    if not self._warned_fallback:
+                        self._warned_fallback = True
+                        import warnings
+
+                        warnings.warn(
+                            f"native path transform failed "
+                            f"({e}); falling back to PIL for such samples"
+                        )
             img = _load_image(self.index, int(i))
             return pos, self.transform(img, rng)
 

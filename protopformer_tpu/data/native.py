@@ -142,14 +142,29 @@ def train_crop_resize(
 
 
 def build_native_eval_transform(input_size: int = 224) -> Callable:
-    """Drop-in replacement for transforms.build_eval_transform that takes a
-    dataset path instead of a PIL image (used by HostDataLoader when the
-    sample is a JPEG file and the library is available)."""
+    """Path-based replacement for transforms.build_eval_transform: pass it
+    as ``HostDataLoader(path_transform=...)`` (enabled by main_train's
+    ``--native_decode``) and JPEG samples decode+resize+crop in C++ without
+    a PIL round-trip."""
     crop_pct = 224 / 256 if input_size <= 224 else 1.0
     resize_to = int(round(input_size / crop_pct))
 
     def transform_path(path: str, rng=None) -> np.ndarray:
         with open(path, "rb") as f:
             return eval_transform(f.read(), resize_to, input_size)
+
+    return transform_path
+
+
+def build_native_square_transform(input_size: int = 224) -> Callable:
+    """Path-based square Resize((s,s)) with no crop — the interpretability
+    protocol's transform (transforms.build_square_transform) on the native
+    decoder: decode + full-image crop box + resize."""
+
+    def transform_path(path: str, rng=None) -> np.ndarray:
+        with open(path, "rb") as f:
+            jb = f.read()
+        w, h = jpeg_dims(jb)
+        return train_crop_resize(jb, 0, 0, w, h, input_size, False)
 
     return transform_path

@@ -139,12 +139,21 @@ def discard_mask_image(
 
 @dataclass
 class VisualizationConfig:
+    """``visual_type`` semantics follow the reference exactly
+    (ref: main_visualize.py:143 default 'heatmap', :310 output subdir,
+    :440 the only write branch): 'slim_gaussian' writes the full output
+    set (bbox'd overlays, 0.7/0.3 blends, discard masks); 'heatmap' — the
+    reference's default — writes ONLY the optional Gaussian surface
+    figures (when use_gauss), because the reference has no write calls
+    outside the slim_gaussian branch. Outputs land under
+    ``output_dir/<visual_type>/`` like the reference's visual_dir."""
+
     output_dir: str = "vis"
     vis_classes: Sequence[int] = tuple(range(10))
     imgs_per_class: int = 20
     use_gauss: bool = False
     percentile: float = 95.0
-    visual_type: str = "slim_gaussian"
+    visual_type: str = "heatmap"
 
 
 def visualize_prototypes(
@@ -170,7 +179,14 @@ def visualize_prototypes(
 
     from protopformer_tpu.data.preprocess import normalize_images
 
-    os.makedirs(vis_cfg.output_dir, exist_ok=True)
+    if vis_cfg.visual_type not in ("heatmap", "slim_gaussian"):
+        raise ValueError(
+            f"visual_type must be 'heatmap' or 'slim_gaussian', "
+            f"got {vis_cfg.visual_type!r}"
+        )
+    out_root = os.path.join(vis_cfg.output_dir, vis_cfg.visual_type)
+    os.makedirs(out_root, exist_ok=True)
+    write_full_set = vis_cfg.visual_type == "slim_gaussian"
     ppc = ppnet_cfg.num_prototypes_per_class
     written: List[str] = []
 
@@ -198,7 +214,7 @@ def visualize_prototypes(
     ) else 224
 
     for c, samples in per_class.items():
-        cdir = os.path.join(vis_cfg.output_dir, f"class_{c}")
+        cdir = os.path.join(out_root, f"class_{c}")
         os.makedirs(cdir, exist_ok=True)
         for si, (view, cls_attn, acts) in enumerate(samples):
             B1 = acts[None]  # (1, P, k, k)
@@ -214,16 +230,19 @@ def visualize_prototypes(
                     act, (img_size, img_size),
                     interpolation=cv2.INTER_CUBIC,
                 )
-                overlay = jet_overlay(view, act_up)
-                y0, y1, x0, x1 = find_high_activation_crop(
-                    act_up, vis_cfg.percentile
-                )
-                boxed = overlay.copy()
-                cv2.rectangle(boxed, (x0, y0), (x1 - 1, y1 - 1),
-                              (255, 255, 0), 2)
-                path = os.path.join(cdir, f"img{si}_proto{j}_overlay.png")
-                cv2.imwrite(path, boxed[:, :, ::-1])
-                written.append(path)
+                if write_full_set:
+                    overlay = jet_overlay(view, act_up)
+                    y0, y1, x0, x1 = find_high_activation_crop(
+                        act_up, vis_cfg.percentile
+                    )
+                    boxed = overlay.copy()
+                    cv2.rectangle(boxed, (x0, y0), (x1 - 1, y1 - 1),
+                                  (255, 255, 0), 2)
+                    path = os.path.join(
+                        cdir, f"img{si}_proto{j}_overlay.png"
+                    )
+                    cv2.imwrite(path, boxed[:, :, ::-1])
+                    written.append(path)
                 if vis_cfg.use_gauss:
                     mu, cov = gaussian_params(act_up.astype(np.float64))
                     surf = multivariate_gaussian_surface(
@@ -235,10 +254,11 @@ def visualize_prototypes(
                     )
                     save_gaussian_surface_fig(surf, gpath)
                     written.append(gpath)
-            mask_img = discard_mask_image(
-                view, cls_attn, ppnet_cfg.final_reserve_num, patch_size
-            )
-            mpath = os.path.join(cdir, f"img{si}_discard_mask.png")
-            cv2.imwrite(mpath, mask_img[:, :, ::-1])
-            written.append(mpath)
+            if write_full_set:
+                mask_img = discard_mask_image(
+                    view, cls_attn, ppnet_cfg.final_reserve_num, patch_size
+                )
+                mpath = os.path.join(cdir, f"img{si}_discard_mask.png")
+                cv2.imwrite(mpath, mask_img[:, :, ::-1])
+                written.append(mpath)
     return written

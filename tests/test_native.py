@@ -58,3 +58,65 @@ def test_train_crop_resize_flip():
     np.testing.assert_allclose(a, b[:, ::-1], atol=1e-6)
     with pytest.raises(ValueError):
         native.train_crop_resize(jb, 90, 5, 60, 60, 32, False)  # OOB crop
+
+
+def _smooth_jpeg_file(path, w=300, h=240):
+    ys, xs = np.mgrid[0:h, 0:w]
+    img = np.stack([
+        (ys * 255 / h), (xs * 255 / w), ((ys + xs) * 255 / (h + w))
+    ], -1).astype(np.uint8)
+    Image.fromarray(img).save(path, "JPEG", quality=95)
+
+
+def test_host_loader_native_path(tmp_path):
+    """The HostDataLoader integration: path_transform (native decode) must
+    produce batches matching the PIL pipeline within decoder tolerance, and
+    per-sample fall back to PIL on undecodable (non-JPEG) files."""
+    from protopformer_tpu.data.datasets import DatasetIndex
+    from protopformer_tpu.data.loader import HostDataLoader
+    from protopformer_tpu.data.transforms import build_eval_transform
+
+    paths = []
+    for i in range(6):
+        p = str(tmp_path / f"img{i}.jpg")
+        _smooth_jpeg_file(p, 300 + 10 * i, 240)
+        paths.append(p)
+    index = DatasetIndex(paths=paths,
+                         labels=np.arange(6, dtype=np.int32) % 3,
+                         num_classes=3)
+
+    kw = dict(batch_size=6, shuffle=False, num_workers=2)
+    pil_loader = HostDataLoader(index, build_eval_transform(64), **kw)
+    nat_loader = HostDataLoader(
+        index, build_eval_transform(64), path_transform=native
+        .build_native_eval_transform(64), **kw,
+    )
+    (pil_batch,) = list(pil_loader)
+    (nat_batch,) = list(nat_loader)
+    np.testing.assert_array_equal(pil_batch["label"], nat_batch["label"])
+    assert np.abs(pil_batch["image"] - nat_batch["image"]).mean() < 0.05
+
+    # a PNG masquerading among the samples: native decode fails, PIL
+    # fallback keeps the batch correct
+    png = str(tmp_path / "img0.png")
+    Image.open(paths[0]).save(png, "PNG")
+    index2 = DatasetIndex(paths=[png] + paths[1:],
+                          labels=index.labels, num_classes=3)
+    nat2 = HostDataLoader(
+        index2, build_eval_transform(64), path_transform=native
+        .build_native_eval_transform(64), **kw,
+    )
+    with pytest.warns(UserWarning, match="falling back to PIL"):
+        (batch2,) = list(nat2)
+    assert np.abs(batch2["image"] - pil_batch["image"]).mean() < 0.05
+
+
+def test_native_square_transform_matches_pil(tmp_path):
+    from protopformer_tpu.data.transforms import build_square_transform
+
+    p = str(tmp_path / "sq.jpg")
+    _smooth_jpeg_file(p, 320, 200)
+    nat = native.build_native_square_transform(112)(p)
+    pil = build_square_transform(112)(Image.open(p))
+    assert nat.shape == (112, 112, 3)
+    assert np.abs(nat - pil).mean() < 0.05

@@ -78,6 +78,8 @@ def test_scatter_and_overlay_and_mask(rng):
 
 
 def test_visualize_prototypes_writes_files(tmp_path, rng):
+    """slim_gaussian writes the full output set under <out>/slim_gaussian/
+    (ref: main_visualize.py:440-475)."""
     model = construct_ppnet(BK, PP)
     x = jnp.asarray(rng.normal(size=(4, 32, 32, 3)).astype(np.float32))
     params = model.init(jax.random.key(0), x)["params"]
@@ -85,15 +87,55 @@ def test_visualize_prototypes_writes_files(tmp_path, rng):
     batch = {"image": x, "label": jnp.asarray([0, 1, 0, 1])}
     cfg = VisualizationConfig(
         output_dir=str(tmp_path / "vis"), vis_classes=(0, 1),
-        imgs_per_class=2, use_gauss=True,
+        imgs_per_class=2, use_gauss=True, visual_type="slim_gaussian",
     )
     written = visualize_prototypes(
         model, params, [(batch, views)], PP, cfg, patch_size=8
     )
     assert len(written) > 0
     assert all(os.path.isfile(p) for p in written)
+    assert all(f"vis{os.sep}slim_gaussian{os.sep}" in p for p in written)
     assert any("gauss" in p for p in written)
     assert any("discard_mask" in p for p in written)
+    assert any("overlay" in p for p in written)
+
+
+def test_visualize_heatmap_flavor_reference_semantics(tmp_path, rng):
+    """'heatmap' (the reference DEFAULT) writes ONLY the optional Gaussian
+    figures — the reference has no imwrite outside the slim_gaussian branch
+    (ref: main_visualize.py:440 is the only write branch)."""
+    model = construct_ppnet(BK, PP)
+    x = jnp.asarray(rng.normal(size=(4, 32, 32, 3)).astype(np.float32))
+    params = model.init(jax.random.key(0), x)["params"]
+    views = (rng.uniform(0, 255, size=(4, 32, 32, 3))).astype(np.uint8)
+    batch = {"image": x, "label": jnp.asarray([0, 1, 0, 1])}
+
+    cfg = VisualizationConfig(
+        output_dir=str(tmp_path / "vis"), vis_classes=(0,),
+        imgs_per_class=1, use_gauss=True, visual_type="heatmap",
+    )
+    written = visualize_prototypes(
+        model, params, [(batch, views)], PP, cfg, patch_size=8
+    )
+    assert len(written) > 0
+    assert all(f"vis{os.sep}heatmap{os.sep}" in p for p in written)
+    assert all("gauss" in p for p in written)  # nothing but gaussian figs
+
+    # without use_gauss, heatmap writes nothing (reference behavior)
+    cfg2 = VisualizationConfig(
+        output_dir=str(tmp_path / "vis2"), vis_classes=(0,),
+        imgs_per_class=1, use_gauss=False, visual_type="heatmap",
+    )
+    assert visualize_prototypes(
+        model, params, [(batch, views)], PP, cfg2, patch_size=8
+    ) == []
+
+    with pytest.raises(ValueError):
+        visualize_prototypes(
+            model, params, [(batch, views)], PP,
+            VisualizationConfig(output_dir=str(tmp_path), visual_type="bogus"),
+            patch_size=8,
+        )
 
 
 def test_part_hits_for_image():
