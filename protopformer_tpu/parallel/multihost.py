@@ -13,9 +13,11 @@ across slices, placed by XLA.
 
 Host-side responsibilities that replace DistributedSampler
 (ref: main.py:286-297): each process loads only its shard of the sample
-index (``shard_index_for_process``), and per-process batch shards are
-assembled into one global array by ``shard_batch`` (jax.device_put with the
-data-axis sharding handles the local-devices subset automatically).
+index (``shard_index_for_process``) and assembles its LOCAL batch shard
+into the global sharded array with ``assemble_global_batch``
+(jax.make_array_from_process_local_data). ``parallel.mesh.shard_batch``
+is the single-process fast path — it requires the full global batch on
+the host and must not be fed per-process shards.
 """
 
 from __future__ import annotations
@@ -54,6 +56,28 @@ def initialize_multihost(
 def is_main_process() -> bool:
     """Print/checkpoint gating (ref: tools/utils.py:203-215, 242-244)."""
     return jax.process_index() == 0
+
+
+def assemble_global_batch(
+    local_batch, mesh, axis_name: str = "data"
+):
+    """Assemble per-process LOCAL batch shards into one global sharded
+    array tree (the multi-host half of DistributedSampler+DDP semantics,
+    ref: main.py:286-297): every process passes its own (local_B, ...)
+    arrays; the result is a (global_B, ...) jax.Array laid out on the
+    mesh's data axis. Single-process: equivalent to mesh.shard_batch."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    sharding = NamedSharding(mesh, P(axis_name))
+    nproc = jax.process_count()
+
+    def put(x):
+        global_shape = (x.shape[0] * nproc,) + x.shape[1:]
+        return jax.make_array_from_process_local_data(
+            sharding, np.asarray(x), global_shape
+        )
+
+    return jax.tree_util.tree_map(put, local_batch)
 
 
 def shard_index_for_process(
