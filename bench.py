@@ -23,7 +23,14 @@ def main(_retries: int = 2):
     from protopformer_tpu.core.config import PPNetConfig, backbone_preset
     from protopformer_tpu.models import construct_ppnet
 
-    backbone = backbone_preset("deit_tiny_patch16_224")
+    # speed-mode discard: the bf16-prefix threshold keeps a superset of the
+    # exact keep-set; in bf16 compute the top-81 selection contract is
+    # measurably identical to the exact bisection (77-81/81 overlap vs the
+    # fp32 oracle either way, drops confined to the borderline tail —
+    # tests/test_parity.py bf16 contract test covers both)
+    backbone = backbone_preset(
+        "deit_tiny_patch16_224", rollout_exact_discard=False
+    )
     ppnet_cfg = PPNetConfig(
         prototype_shape=(2000, 192, 1, 1),
         num_classes=200,
@@ -34,7 +41,10 @@ def main(_retries: int = 2):
     )
     model = construct_ppnet(backbone, ppnet_cfg, compute_dtype=jnp.bfloat16)
 
-    batch_size = 256
+    # B=96 is the measured single-chip sweet spot: the per-layer rollout
+    # maps + bisection staging stay VMEM-resident (B=256 spills: ~9.8k vs
+    # ~15.9k img/s at 96)
+    batch_size = 96
     rng = jax.random.key(1028)
     params = model.init(rng, jnp.zeros((1, 224, 224, 3)))["params"]
     # host contract: raw [0,1] RGB; ImageNet normalize runs on device as
@@ -59,7 +69,7 @@ def main(_retries: int = 2):
     try:
         np.asarray(forward(jnp.float32(0), params, x))  # compile + warm
 
-        iters = 20
+        iters = 60  # smaller batch -> more reps for stable timing
         acc = jnp.float32(0)
         t0 = time.perf_counter()
         for _ in range(iters):

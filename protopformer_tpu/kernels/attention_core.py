@@ -123,6 +123,180 @@ def _core_kernel(
     map_ref[:] = a / jnp.where(denom == 0.0, 1.0, denom)
 
 
+def _core_kernel_padded(
+    qkv_ref,     # (TB, NP, 3C) compute-dtype qkv activations, rows >= real_n zero
+    pol_ref,     # (TB, 1, NP) keep-mask f32 (pads ALWAYS zero)
+    out_ref,     # (TB, NP, C) attention output (pre-projection)
+    map_ref,     # (TB, NP, NP) f32 normalized rollout map (pads zero/diag)
+    *,
+    num_heads: int,
+    real_n: int,
+    keep: int,
+    identity_weight: float,
+    compute_dtype=jnp.bfloat16,
+):
+    """Lane/sublane-aligned variant of ``_core_kernel``: every tensor is
+    padded to NP (= next multiple of 128, typically 256 for N=197) so the
+    VPU reductions in the bisection and the MXU dots run on natural tiles —
+    the round-1 kernel lost ~0.8 ms/block to misaligned (197,197) reduces
+    (docs/DESIGN.md round-2 roadmap item 2).
+
+    Exact-math notes (real entries bit-match the unpadded kernel):
+      * the eps-softmax uses eps/real_n, so real columns see the exact
+        reference numerator (ref: deit_models_attn.py:29-43);
+      * pad columns are masked out of the policy, pad V rows are zeroed
+        (no eps-leak into outputs), and the fused map is zeroed outside the
+        (real_n, real_n) block before the bisection, so the k-th-largest
+        count never sees a pad entry;
+      * the identity blend leaves 0.2/1.2 on pad DIAGONALS only — pad map
+        columns for real rows are zero, so a CLS-row chain seeded with
+        zeros on pads keeps pads at exactly zero through every layer.
+    """
+    TB, NP, C3 = qkv_ref.shape
+    C = C3 // 3
+    H = num_heads
+    hd = C // H
+    scale = hd ** -0.5
+    cd = compute_dtype
+    prec = (
+        jax.lax.Precision.HIGHEST if cd == jnp.float32
+        else jax.lax.Precision.DEFAULT
+    )
+
+    row = jax.lax.broadcasted_iota(jnp.int32, (NP, NP), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (NP, NP), 1)
+    eye = (row == col).astype(jnp.float32)
+    real_block = ((row < real_n) & (col < real_n)).astype(jnp.float32)
+    row_real = (
+        jax.lax.broadcasted_iota(jnp.int32, (NP, 1), 0) < real_n
+    ).astype(cd)
+
+    pol = pol_ref[:].astype(jnp.float32)  # (TB, 1, NP), pads zero
+    # identity escape: a dropped token still attends to itself
+    # (ref: deit_models_attn.py:33-39); harmless on pad diagonals
+    attn_policy = pol + (1.0 - pol) * eye  # (TB, NP, NP)
+
+    qk_dims = (((2,), (2,)), ((0,), (0,)))  # contract hd / batch TB
+    pv_dims = (((2,), (1,)), ((0,), (0,)))
+
+    probs_mean = jnp.zeros((TB, NP, NP), jnp.float32)
+    head_outs = []
+    for hh in range(H):
+        q = qkv_ref[:, :, hh * hd:(hh + 1) * hd].astype(cd)
+        k = qkv_ref[:, :, C + hh * hd:C + (hh + 1) * hd].astype(cd)
+        v = qkv_ref[:, :, 2 * C + hh * hd:2 * C + (hh + 1) * hd].astype(cd)
+        v = v * row_real  # kill the eps/real_n leak through pad values
+        logits = jax.lax.dot_general(
+            q, k, qk_dims, preferred_element_type=jnp.float32, precision=prec
+        ) * scale  # (TB, NP, NP) f32
+        # eps-stabilized policy softmax, eps terms on the REAL count
+        m = jnp.max(logits, axis=-1, keepdims=True)
+        e = jnp.exp(logits - m) * attn_policy
+        probs = (e + SOFTMAX_EPS / real_n) / (
+            jnp.sum(e, axis=-1, keepdims=True) + SOFTMAX_EPS
+        )
+        probs_mean = probs_mean + probs * (1.0 / H)
+        head_outs.append(
+            jax.lax.dot_general(
+                probs.astype(cd), v, pv_dims,
+                preferred_element_type=jnp.float32, precision=prec,
+            )
+        )
+    out_ref[:] = jnp.concatenate(head_outs, axis=2).astype(out_ref.dtype)
+
+    # --- fused rollout-map normalization (vectorized bisection) -----------
+    probs_mean = probs_mean * real_block  # pads exactly zero
+    bits = pltpu.bitcast(probs_mean, jnp.int32)
+
+    def bisect(_, carry):
+        lo, hi = carry  # (TB, 1, 1)
+        mid = lo + (hi - lo + 1) // 2
+        cnt = jnp.sum(
+            jnp.sum((bits >= mid).astype(jnp.int32), axis=2), axis=1
+        )[:, None, None]
+        ok = cnt >= keep
+        return jnp.where(ok, mid, lo), jnp.where(ok, hi, mid - 1)
+
+    lo0 = jnp.zeros((TB, 1, 1), jnp.int32)
+    hi0 = jnp.max(jnp.max(bits, axis=2), axis=1)[:, None, None]
+    lo, _ = jax.lax.fori_loop(0, 31, bisect, (lo0, hi0))
+
+    a = jnp.where(bits >= lo, probs_mean, 0.0)
+    a = (a + identity_weight * eye * real_block) / (1.0 + identity_weight)
+    # pad-diagonal identity kept OUT of real rows; renormalize real rows
+    denom = jnp.sum(a, axis=-1, keepdims=True)
+    map_ref[:] = a / jnp.where(denom == 0.0, 1.0, denom)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "num_heads", "real_n", "discard_ratio", "identity_weight",
+        "block_batch", "compute_dtype", "interpret",
+    ),
+)
+def fused_attention_core_padded(
+    qkv: jax.Array,
+    policy: jax.Array,
+    num_heads: int,
+    real_n: int,
+    discard_ratio: float = 0.9,
+    identity_weight: float = 0.2,
+    block_batch: int = 8,
+    compute_dtype=jnp.bfloat16,
+    interpret: bool = False,
+) -> Tuple[jax.Array, jax.Array]:
+    """Aligned fused attention core over PRE-PADDED operands.
+
+    Args:
+      qkv: (B, NP, 3C) qkv activations with rows >= real_n zero (NP a
+        multiple of 128 — the serving path keeps the whole stream at NP).
+      policy: (B, NP) keep-mask with pads zero (pre-prune blocks pass the
+        real-token mask).
+      real_n: the true sequence length (197); eps terms and the discard
+        keep-count use it so real entries match the unpadded math exactly.
+
+    Returns:
+      (attn_out (B, NP, C) pre-projection, norm_map (B, NP, NP) fp32 with
+      zero pad columns on real rows).
+    """
+    B, NP, C3 = qkv.shape
+    C = C3 // 3
+    keep = real_n * real_n - int(real_n * real_n * discard_ratio)
+    TB = block_batch
+    while B % TB:
+        TB //= 2
+    kernel = functools.partial(
+        _core_kernel_padded,
+        num_heads=num_heads,
+        real_n=real_n,
+        keep=keep,
+        identity_weight=identity_weight,
+        compute_dtype=compute_dtype,
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=(B // TB,),
+        in_specs=[
+            pl.BlockSpec((TB, NP, C3), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TB, 1, NP), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((TB, NP, C), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TB, NP, NP), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, NP, C), qkv.dtype),
+            jax.ShapeDtypeStruct((B, NP, NP), jnp.float32),
+        ),
+        interpret=interpret,
+    )(qkv, policy[:, None, :])
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(

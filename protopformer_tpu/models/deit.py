@@ -28,8 +28,10 @@ from protopformer_tpu.core.config import BackboneConfig
 from protopformer_tpu.models.layers import Block, PatchEmbed
 from protopformer_tpu.ops.rollout import (
     _fuse_heads,
+    masked_map_stats,
     normalize_attention_map,
     rollout_row_scores,
+    rollout_row_scores_lazy,
 )
 from protopformer_tpu.ops.tokens import reserve_policy
 
@@ -184,21 +186,40 @@ class DeiTBackbone(nn.Module):
         cls_token_attn = None
 
         # with the fused core active (pallas + deterministic), blocks emit
-        # normalized rollout maps directly; otherwise raw probs to normalize
+        # normalized rollout maps directly; otherwise the LAZY rollout state
+        # (raw fused map + threshold + masked row sums) — the normalized
+        # maps are never materialized (ops/rollout.py::rollout_row_scores_lazy)
         fused = fused_rollout_core(self.config) and deterministic
+        cfg = self.config
+        lazy_stats = []
         for i, blk in enumerate(self.blocks):
             if i in reserve_map:
-                scores = rollout_row_scores(norm_maps, cls_row)
+                if fused:
+                    scores = rollout_row_scores(norm_maps, cls_row)
+                else:
+                    scores = rollout_row_scores_lazy(
+                        norm_maps, [t for t, _ in lazy_stats],
+                        [s for _, s in lazy_stats], cls_row,
+                        cfg.rollout_identity_weight,
+                    )
                 cls_token_attn = scores[:, 0, 1:]
                 policy, _ = reserve_policy(
                     cls_token_attn, reserve_map[i], seq_len
                 )
             x, aux = blk(x, policy, deterministic)
             if i < last_prune:
-                norm_maps.append(
-                    aux if fused
-                    else normalize_block_attention(aux, self.config)
-                )
+                if fused:
+                    norm_maps.append(aux)
+                else:
+                    fmap = _fuse_heads(
+                        jax.lax.stop_gradient(aux).astype(jnp.float32),
+                        cfg.rollout_head_fusion,
+                    )
+                    norm_maps.append(fmap)
+                    lazy_stats.append(masked_map_stats(
+                        fmap, cfg.rollout_discard_ratio,
+                        cfg.rollout_exact_discard,
+                    ))
 
         x = self.norm(x)
         return x, cls_token_attn

@@ -24,6 +24,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from protopformer_tpu.ops.activations import gelu_exact
 from protopformer_tpu.ops.masking import (
     class_attn_softmax_with_policy,
     eps_softmax,
@@ -79,7 +80,9 @@ class Mlp(nn.Module):
     def __call__(self, x: jax.Array, deterministic: bool = True) -> jax.Array:
         x = nn.Dense(self.hidden_dim, dtype=self.dtype, param_dtype=jnp.float32,
                      precision=_matmul_precision(self.dtype), name="fc1")(x)
-        x = jax.nn.gelu(x, approximate=False)
+        # exact-erf semantics via the fused-friendly A&S erf
+        # (ops/activations.py — XLA's erf lowering costs ~1.3 ms/model here)
+        x = gelu_exact(x)
         x = nn.Dropout(self.drop_rate)(x, deterministic=deterministic)
         x = nn.Dense(self.out_dim, dtype=self.dtype, param_dtype=jnp.float32,
                      precision=_matmul_precision(self.dtype), name="fc2")(x)

@@ -1,0 +1,36 @@
+"""Activation functions tuned for TPU/XLA lowering.
+
+``gelu_exact``: exact-erf GELU semantics (torch's ``nn.GELU`` default — the
+reference's activation, timm Mlp) WITHOUT ``lax.erf``: XLA's erf lowering on
+TPU costs ~2.3 ms per 12-block DeiT-Ti stack at B=96 (measured; it defeats
+fusion), while the Abramowitz & Stegun 7.1.26 rational approximation
+(max |erf err| 1.5e-7, max |gelu err| < 1e-6 — inside the 1e-4 parity
+budget) fuses into the surrounding denses and saves ~1.3 ms of the stack.
+Differentiable everywhere except x=0 (sign/abs), like relu.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def erf_as(x: jax.Array) -> jax.Array:
+    """fp32 erf via Abramowitz & Stegun 7.1.26 (max abs err 1.5e-7)."""
+    sign = jnp.sign(x)
+    ax = jnp.abs(x)
+    t = 1.0 / (1.0 + 0.3275911 * ax)
+    poly = t * (
+        0.254829592
+        + t * (-0.284496736 + t * (1.421413741
+                                   + t * (-1.453152027 + t * 1.061405429)))
+    )
+    return sign * (1.0 - poly * jnp.exp(-ax * ax))
+
+
+def gelu_exact(x: jax.Array) -> jax.Array:
+    """Exact-erf GELU (torch default) with the fast erf; computes in fp32
+    and returns ``x.dtype``."""
+    xf = x.astype(jnp.float32)
+    out = xf * 0.5 * (1.0 + erf_as(xf * (2.0 ** -0.5)))
+    return out.astype(x.dtype)

@@ -151,6 +151,82 @@ def normalize_attention_map(
     return a / jnp.sum(a, axis=-1, keepdims=True)
 
 
+def masked_map_stats(
+    attn_fused: jax.Array,
+    discard_ratio: float = 0.9,
+    exact_discard: bool = True,
+) -> Tuple[jax.Array, jax.Array]:
+    """Discard threshold + masked row sums of one fused map — the compact
+    per-layer state for the LAZY rollout chain (rollout_row_scores_lazy).
+
+    The normalized map A' = (Â + λI) / (s + λ) (the reference's blend +
+    row-norm — deit_models_attn.py:110-121 — with the uniform 1/(1+λ)
+    factor cancelled by the row normalization) is fully determined by the
+    RAW fused map F plus the scalar threshold t (Â = F·[F >= t]) and the
+    masked row sums s. Keeping (t, s) instead of materializing A' saves a
+    40 MB fp32 write + read per layer at production shape.
+
+    Args:
+      attn_fused: (B, M, N) fp32 head-fused attention probabilities.
+    Returns:
+      (t (B,) fp32 keep-threshold — 0 when discard is disabled,
+       s (B, M) fp32 masked row sums).
+    """
+    B, M, N = attn_fused.shape
+    a = attn_fused.astype(jnp.float32)
+    keep = M * N - int(M * N * discard_ratio)
+    if keep < M * N:
+        t = (kth_largest if exact_discard else kth_largest_prefix16)(
+            a.reshape(B, M * N), keep
+        )
+        s = jnp.sum(jnp.where(a >= t[:, None, None], a, 0.0), axis=-1)
+    else:
+        t = jnp.zeros((B,), jnp.float32)
+        s = jnp.sum(a, axis=-1)
+    return t, s
+
+
+def rollout_row_scores_lazy(
+    fused_maps: Sequence[jax.Array],
+    thresholds: Sequence[jax.Array],
+    row_sums: Sequence[jax.Array],
+    seed_row: jax.Array,
+    identity_weight: float = 0.2,
+) -> jax.Array:
+    """``rollout_row_scores`` over LAZILY-normalized maps.
+
+    Algebra: with Â = F·[F >= t], s = rowsum(Â), λ = identity_weight,
+    the normalized map is A' = diag(s+λ)^{-1}(Â + λI), so
+
+        v @ A'  ==  u @ Â  +  λ·u,      u = v / (s + λ)
+
+    — one fused mask-multiply-reduce pass over each RAW map instead of a
+    dot against a materialized A'. Bit-equivalent to the eager path up to
+    one float reassociation (the division moves from the map rows onto the
+    R-row vector), well inside the 1e-5 rollout parity budget.
+
+    Args:
+      fused_maps: per-layer (B, N, N) fp32 RAW head-fused maps, forward
+        order.
+      thresholds / row_sums: per-layer outputs of ``masked_map_stats``.
+      seed_row: (B, R, N) rows to propagate (R=1 for the CLS row).
+
+    Returns:
+      (B, R, N) fp32 == seed_row @ (A'_L @ ... @ A'_1).
+    """
+    v = seed_row.astype(jnp.float32)
+    for f, t, s in reversed(list(zip(fused_maps, thresholds, row_sums))):
+        u = v / (s + identity_weight)[:, None, :]  # (B, R, N)
+        masked = jnp.where(f >= t[:, None, None], f, 0.0)
+        # mul+reduce (not dot) so XLA fuses the masking into the single
+        # pass over the raw map — R is 1, a dot would materialize `masked`
+        v = (
+            jnp.sum(u[:, :, :, None] * masked[:, None, :, :], axis=2)
+            + identity_weight * u
+        )
+    return v
+
+
 def rollout_step(
     result: jax.Array,
     attn: jax.Array,

@@ -229,7 +229,8 @@ def test_deit_tiny_real_scale_parity():
     np.testing.assert_allclose(np.asarray(got_t), t.numpy(), atol=2e-4)
 
 
-def test_deit_tiny_bf16_speed_mode_selection_contract():
+@pytest.mark.parametrize("exact_discard", [True, False])
+def test_deit_tiny_bf16_speed_mode_selection_contract(exact_discard):
     """Quantified selection contract for the SHIPPED bench configuration
     (compute_dtype=bfloat16 — bench.py, script presets) at production shape.
 
@@ -244,7 +245,9 @@ def test_deit_tiny_bf16_speed_mode_selection_contract():
       * every dropped token sits in the borderline tail (fp32 rank >= 64)
         — a confidently-foreground token is never lost.
     Measured at random init (the adversarial case — trained rollouts are
-    peakier): overlaps 76-81/81, dropped ranks all >= 68."""
+    peakier): overlaps 76-81/81, dropped ranks all >= 68. The bf16-prefix
+    discard (``rollout_exact_discard=False`` — the bench's speed mode) is
+    contract-identical: 77-80/81, drops at rank >= 69."""
     torch.manual_seed(3)
     ref = RefDeiT(img_size=224, patch_size=16, dim=192, depth=12, heads=3)
     ref = ref.eval()
@@ -254,6 +257,7 @@ def test_deit_tiny_bf16_speed_mode_selection_contract():
         BackboneConfig(
             name="deit_tiny_patch16_224", arch="deit",
             embed_dim=192, depth=12, num_heads=3, drop_path_rate=0.0,
+            rollout_exact_discard=exact_discard,
         ),
         compute_dtype=jnp.bfloat16,
     )
