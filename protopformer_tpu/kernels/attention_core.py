@@ -228,6 +228,116 @@ def _core_kernel_padded(
     map_ref[:] = a / jnp.where(denom == 0.0, 1.0, denom)
 
 
+def _mean_kernel_padded(
+    qkv_ref,     # (TB, NP, 3C)
+    pol_ref,     # (TB, 1, NP) keep-mask f32 (pads ALWAYS zero)
+    out_ref,     # (TB, NP, C)
+    map_ref,     # (TB, NP, NP) f32 RAW head-fused probabilities, pads zero
+    *,
+    num_heads: int,
+    real_n: int,
+    compute_dtype=jnp.bfloat16,
+):
+    """``_core_kernel_padded`` without the normalize/bisect stage: emits the
+    RAW head-fused map for the XLA-side lazy rollout
+    (ops/rollout.py::masked_map_stats + rollout_row_scores_lazy), which
+    measured faster than the in-kernel bisection."""
+    TB, NP, C3 = qkv_ref.shape
+    C = C3 // 3
+    H = num_heads
+    hd = C // H
+    scale = hd ** -0.5
+    cd = compute_dtype
+    prec = (
+        jax.lax.Precision.HIGHEST if cd == jnp.float32
+        else jax.lax.Precision.DEFAULT
+    )
+
+    row = jax.lax.broadcasted_iota(jnp.int32, (NP, NP), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (NP, NP), 1)
+    eye = (row == col).astype(jnp.float32)
+    real_block = ((row < real_n) & (col < real_n)).astype(jnp.float32)
+    row_real = (
+        jax.lax.broadcasted_iota(jnp.int32, (NP, 1), 0) < real_n
+    ).astype(cd)
+
+    pol = pol_ref[:].astype(jnp.float32)
+    attn_policy = pol + (1.0 - pol) * eye
+
+    qk_dims = (((2,), (2,)), ((0,), (0,)))
+    pv_dims = (((2,), (1,)), ((0,), (0,)))
+
+    probs_mean = jnp.zeros((TB, NP, NP), jnp.float32)
+    for hh in range(H):
+        q = qkv_ref[:, :, hh * hd:(hh + 1) * hd].astype(cd)
+        k = qkv_ref[:, :, C + hh * hd:C + (hh + 1) * hd].astype(cd)
+        v = qkv_ref[:, :, 2 * C + hh * hd:2 * C + (hh + 1) * hd].astype(cd)
+        v = v * row_real
+        logits = jax.lax.dot_general(
+            q, k, qk_dims, preferred_element_type=jnp.float32, precision=prec
+        ) * scale
+        m = jnp.max(logits, axis=-1, keepdims=True)
+        e = jnp.exp(logits - m) * attn_policy
+        probs = (e + SOFTMAX_EPS / real_n) / (
+            jnp.sum(e, axis=-1, keepdims=True) + SOFTMAX_EPS
+        )
+        probs_mean = probs_mean + probs * (1.0 / H)
+        # per-head slice write (no concat list — keeps scoped VMEM under
+        # the 16 MB limit)
+        out_ref[:, :, hh * hd:(hh + 1) * hd] = jax.lax.dot_general(
+            probs.astype(cd), v, pv_dims,
+            preferred_element_type=jnp.float32, precision=prec,
+        ).astype(out_ref.dtype)
+    map_ref[:] = probs_mean * real_block
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("num_heads", "real_n", "block_batch", "compute_dtype",
+                     "interpret"),
+)
+def fused_attention_mean_padded(
+    qkv: jax.Array,
+    policy: jax.Array,
+    num_heads: int,
+    real_n: int,
+    block_batch: int = 8,
+    compute_dtype=jnp.bfloat16,
+    interpret: bool = False,
+) -> Tuple[jax.Array, jax.Array]:
+    """Aligned fused attention emitting (out, RAW head-fused fp32 map)."""
+    B, NP, C3 = qkv.shape
+    C = C3 // 3
+    TB = block_batch
+    while B % TB:
+        TB //= 2
+    kernel = functools.partial(
+        _mean_kernel_padded,
+        num_heads=num_heads, real_n=real_n, compute_dtype=compute_dtype,
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=(B // TB,),
+        in_specs=[
+            pl.BlockSpec((TB, NP, C3), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TB, 1, NP), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((TB, NP, C), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TB, NP, NP), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, NP, C), qkv.dtype),
+            jax.ShapeDtypeStruct((B, NP, NP), jnp.float32),
+        ),
+        interpret=interpret,
+    )(qkv, policy[:, None, :])
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(

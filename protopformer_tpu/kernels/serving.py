@@ -1,20 +1,38 @@
-"""Fused serving path: PPNet inference built on the fused block kernel.
+"""Fused serving path: PPNet inference with a lane-aligned padded stream.
 
 A pure function over the PPNet Flax parameter tree (no module machinery):
-patch-embed (XLA conv) -> 12x fused Pallas blocks (each emitting its
-normalized rollout map) -> CLS-row rollout scores -> top-k policy ->
-masked final block(s) -> final LayerNorm -> top-k gather -> add-on ->
-prototype distances -> dual-branch logits.
+patch-embed (XLA conv) -> pad the token stream to NP=256 once -> 12x
+[LayerNorm/qkv dense in XLA -> fused Pallas attention emitting the RAW
+head-fused rollout map -> proj/MLP in XLA] -> lazy rollout (masked_map_stats
++ CLS-row chain, all on pads-zero maps) -> top-k policy -> masked final
+block -> final LayerNorm -> top-k gather -> add-on -> prototype distances ->
+dual-branch logits.
 
-STATUS: experimental. On v5e the measured fused block runs ~2.7 ms vs the
-XLA path's ~2.2 ms/block at B=256 — Mosaic's reshape/slice limits around the
-padded 197-token dim force a per-sample loop that loses XLA's cross-batch
-matmul batching, so the DEFAULT inference path remains the Flax model (whose
-rollout already uses the CLS-row vector trick and bit-bisection top-k from
-ops/rollout.py). Kept as a validated baseline for future kernel iterations;
-``tests/test_kernels.py`` checks it against ``PPNet.apply``.
+Why padding the WHOLE stream: the round-1 fully-fused block lost to XLA
+(2.7 vs 2.2 ms/block — Mosaic reshape limits at N=197 forced per-sample
+loops), and per-block pad/slice around the kernel costs as much as the
+kernel saves. Padding once after patch-embed keeps every op — XLA denses,
+the Pallas attention core, the rollout chain — on natural (NP=256) tiles.
 
-Inference-only by construction (no dropout/drop-path state).
+STATUS (round 2, measured on v5e-1 at B=96 bf16): 12.9k img/s vs the XLA
+Flax path's 15.9k — the +30% dense/MLP work on the 59 pad rows costs more
+than the fused attention core saves, and Mosaic still rejects TB=16
+(internal compile error) which would amortize the kernel overhead. The
+DEFAULT inference path remains the Flax model (fast A&S GELU + lazy rollout
++ VMEM-resident bisection, ops/rollout.py). Kept as a correct, equivalence-
+tested baseline for future Mosaic versions; top-81 overlap vs the XLA path
+79-81/81 (bf16 selection contract).
+
+Pad-row semantics (proved in kernels/attention_core.py notes): pad keys are
+policy-masked, pad V rows zeroed in-kernel, fused maps are exactly zero
+outside the (real_n, real_n) block, and the eps-softmax uses eps/real_n —
+real entries bit-match the unpadded math; a CLS-row chain seeded with zeros
+on pads keeps pads at exactly zero through every layer. Pad rows of the
+token stream carry bounded garbage (LN bias) and are never read.
+
+Inference-only by construction (no dropout/drop-path); training uses the
+autodiff Flax path. Equivalence-tested against ``PPNet.apply`` in
+tests/test_kernels.py.
 """
 
 from __future__ import annotations
@@ -26,10 +44,16 @@ import jax
 import jax.numpy as jnp
 
 from protopformer_tpu.core.config import BackboneConfig, PPNetConfig
-from protopformer_tpu.kernels.block import fused_deit_block
+from protopformer_tpu.kernels.attention_core import (
+    fused_attention_mean_padded,
+)
 from protopformer_tpu.models.ppnet import EvalOutput
+from protopformer_tpu.ops.activations import gelu_exact
 from protopformer_tpu.ops.distances import prototype_activations
-from protopformer_tpu.ops.rollout import rollout_row_scores
+from protopformer_tpu.ops.rollout import (
+    masked_map_stats,
+    rollout_row_scores_lazy,
+)
 from protopformer_tpu.ops.tokens import (
     gather_tokens,
     reserve_policy,
@@ -38,10 +62,11 @@ from protopformer_tpu.ops.tokens import (
 
 
 def _layernorm(x, p, eps):
-    x = x.astype(jnp.float32)
-    mu = jnp.mean(x, axis=-1, keepdims=True)
-    var = jnp.mean(jnp.square(x - mu), axis=-1, keepdims=True)
-    return (x - mu) * jax.lax.rsqrt(var + eps) * p["scale"] + p["bias"]
+    xf = x.astype(jnp.float32)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mu), axis=-1, keepdims=True)
+    out = (xf - mu) * jax.lax.rsqrt(var + eps) * p["scale"] + p["bias"]
+    return out.astype(x.dtype)
 
 
 def _patch_embed(images, p, dtype):
@@ -81,6 +106,7 @@ def ppnet_eval_forward(
     feat = params["features"]
     cfg = backbone_cfg
     dtype = jnp.bfloat16
+    prec = jax.lax.Precision.DEFAULT
 
     tokens = _patch_embed(images, feat["patch_embed"], dtype)
     B, N, D = tokens.shape
@@ -89,30 +115,56 @@ def ppnet_eval_forward(
     x = x + feat["pos_embed"].astype(dtype)
 
     seq_len = N + 1
+    NP = -(-seq_len // 128) * 128  # 197 -> 256
+    x = jnp.pad(x, ((0, 0), (0, NP - seq_len), (0, 0)))
+    real_mask = (jnp.arange(NP) < seq_len).astype(jnp.float32)[None, :]
+    policy = jnp.broadcast_to(real_mask, (B, NP))
+
     reserve_map = dict(ppnet_cfg.reserve_layer_nums)
     last_prune = max(reserve_map)
-    policy = jnp.ones((B, seq_len), jnp.float32)
-    cls_row = jnp.zeros((B, 1, seq_len), jnp.float32).at[:, 0, 0].set(1.0)
-    norm_maps = []
+    cls_row = jnp.zeros((B, 1, NP), jnp.float32).at[:, 0, 0].set(1.0)
+    fused_maps, thresholds, row_sums = [], [], []
     cls_token_attn = None
+
+    def dense(t, p):
+        return (
+            jnp.matmul(t, p["kernel"].astype(dtype), precision=prec)
+            + p["bias"].astype(dtype)
+        )
 
     for i in range(cfg.depth):
         if i in reserve_map:
-            scores = rollout_row_scores(norm_maps, cls_row)
-            cls_token_attn = scores[:, 0, 1:]
-            policy, _ = reserve_policy(cls_token_attn, reserve_map[i], seq_len)
-        x, m = fused_deit_block(
-            x, policy, feat[f"blocks_{i}"],
-            num_heads=cfg.num_heads,
-            ln_eps=cfg.layer_norm_eps,
-            discard_ratio=cfg.rollout_discard_ratio,
-            identity_weight=cfg.rollout_identity_weight,
-            interpret=interpret,
+            scores = rollout_row_scores_lazy(
+                fused_maps, thresholds, row_sums, cls_row,
+                cfg.rollout_identity_weight,
+            )
+            cls_token_attn = scores[:, 0, 1:seq_len]
+            pol_real, _ = reserve_policy(
+                cls_token_attn, reserve_map[i], seq_len
+            )
+            policy = jnp.pad(pol_real, ((0, 0), (0, NP - seq_len)))
+        bp = feat[f"blocks_{i}"]
+        h = _layernorm(x, bp["norm1"], cfg.layer_norm_eps)
+        qkv = dense(h, bp["attn"]["qkv"])
+        attn_out, fmap = fused_attention_mean_padded(
+            qkv, policy, cfg.num_heads, real_n=seq_len,
+            compute_dtype=dtype, interpret=interpret,
         )
+        x = x + dense(attn_out.astype(dtype), bp["attn"]["proj"])
+        h = _layernorm(x, bp["norm2"], cfg.layer_norm_eps)
+        x = x + dense(gelu_exact(dense(h, bp["mlp"]["fc1"])), bp["mlp"]["fc2"])
         if i < last_prune:
-            norm_maps.append(m)
+            fused_maps.append(fmap)
+            # the pads-zero map never contributes counts: keep uses the
+            # REAL element count so thresholds match the unpadded math
+            t, s = masked_map_stats(
+                fmap, cfg.rollout_discard_ratio, cfg.rollout_exact_discard,
+                keep_elements=seq_len * seq_len,
+            )
+            thresholds.append(t)
+            row_sums.append(s)
 
-    x = _layernorm(x, feat["norm"], cfg.layer_norm_eps)
+    x = _layernorm(x[:, :seq_len], feat["norm"], cfg.layer_norm_eps)
 
     # final top-k gather + add-on ('regular': Dense + sigmoid)
     idx = topk_sorted_indices(cls_token_attn, ppnet_cfg.final_reserve_num)
@@ -120,7 +172,8 @@ def ppnet_eval_forward(
     cls_tokens = x[:, :1]
     ao = params["add_on_layers"]["layers_0"]
     proj = lambda t: jax.nn.sigmoid(  # noqa: E731
-        jnp.dot(t, ao["kernel"], precision=jax.lax.Precision.HIGHEST)
+        jnp.dot(t.astype(jnp.float32), ao["kernel"],
+                precision=jax.lax.Precision.HIGHEST)
         + ao["bias"]
     )
     img_tokens = proj(img_tokens)

@@ -185,23 +185,22 @@ class DeiTBackbone(nn.Module):
         norm_maps = []
         cls_token_attn = None
 
-        # with the fused core active (pallas + deterministic), blocks emit
-        # normalized rollout maps directly; otherwise the LAZY rollout state
-        # (raw fused map + threshold + masked row sums) — the normalized
-        # maps are never materialized (ops/rollout.py::rollout_row_scores_lazy)
+        # The rollout runs LAZILY in both paths: per pre-prune block keep the
+        # RAW head-fused fp32 map + its discard threshold + masked row sums
+        # (ops/rollout.py::masked_map_stats); the normalized maps are never
+        # materialized (rollout_row_scores_lazy). With the fused core active
+        # (pallas + deterministic) the block emits the head-fused map
+        # directly; otherwise it returns per-head probs fused here.
         fused = fused_rollout_core(self.config) and deterministic
         cfg = self.config
         lazy_stats = []
         for i, blk in enumerate(self.blocks):
             if i in reserve_map:
-                if fused:
-                    scores = rollout_row_scores(norm_maps, cls_row)
-                else:
-                    scores = rollout_row_scores_lazy(
-                        norm_maps, [t for t, _ in lazy_stats],
-                        [s for _, s in lazy_stats], cls_row,
-                        cfg.rollout_identity_weight,
-                    )
+                scores = rollout_row_scores_lazy(
+                    norm_maps, [t for t, _ in lazy_stats],
+                    [s for _, s in lazy_stats], cls_row,
+                    cfg.rollout_identity_weight,
+                )
                 cls_token_attn = scores[:, 0, 1:]
                 policy, _ = reserve_policy(
                     cls_token_attn, reserve_map[i], seq_len
@@ -209,17 +208,17 @@ class DeiTBackbone(nn.Module):
             x, aux = blk(x, policy, deterministic)
             if i < last_prune:
                 if fused:
-                    norm_maps.append(aux)
+                    fmap = aux  # already head-fused fp32 (forward-only path)
                 else:
                     fmap = _fuse_heads(
                         jax.lax.stop_gradient(aux).astype(jnp.float32),
                         cfg.rollout_head_fusion,
                     )
-                    norm_maps.append(fmap)
-                    lazy_stats.append(masked_map_stats(
-                        fmap, cfg.rollout_discard_ratio,
-                        cfg.rollout_exact_discard,
-                    ))
+                norm_maps.append(fmap)
+                lazy_stats.append(masked_map_stats(
+                    fmap, cfg.rollout_discard_ratio,
+                    cfg.rollout_exact_discard,
+                ))
 
         x = self.norm(x)
         return x, cls_token_attn

@@ -152,23 +152,29 @@ class Attention(nn.Module):
             and policy is not None
         )
         if use_core:
+            # lane-aligned fused attention emitting the RAW head-fused map
+            # (normalize/bisect stay in XLA via the lazy rollout — measured
+            # faster than the in-kernel bisection)
             from protopformer_tpu.kernels.attention_core import (
-                fused_attention_core,
+                fused_attention_mean_padded,
             )
 
-            ones = isinstance(policy, str)
-            out, norm_map = fused_attention_core(
-                qkv_flat,
-                None if ones else policy,
+            NP = -(-N // 128) * 128  # next multiple of 128
+            pol = (
+                jnp.ones((B, N), jnp.float32)
+                if isinstance(policy, str) else
+                policy.reshape(B, N).astype(jnp.float32)
+            )
+            out, fused_map = fused_attention_mean_padded(
+                jnp.pad(qkv_flat, ((0, 0), (0, NP - N), (0, 0))),
+                jnp.pad(pol, ((0, 0), (0, NP - N))),
                 H,
-                discard_ratio=self.rollout_norm[0],
-                identity_weight=self.rollout_norm[1],
-                ones_policy=ones,
+                real_n=N,
                 compute_dtype=self.dtype,
             )
             out = nn.Dense(C, dtype=self.dtype, param_dtype=jnp.float32,
-                           precision=prec, name="proj")(out)
-            return out, norm_map
+                           precision=prec, name="proj")(out[:, :N])
+            return out, fused_map[:, :N, :N]
 
         qkv = qkv_flat.reshape(B, N, 3, H, hd).transpose(2, 0, 3, 1, 4)
         q, k, v = qkv[0], qkv[1], qkv[2]

@@ -155,6 +155,7 @@ def masked_map_stats(
     attn_fused: jax.Array,
     discard_ratio: float = 0.9,
     exact_discard: bool = True,
+    keep_elements: int = None,
 ) -> Tuple[jax.Array, jax.Array]:
     """Discard threshold + masked row sums of one fused map — the compact
     per-layer state for the LAZY rollout chain (rollout_row_scores_lazy).
@@ -168,14 +169,18 @@ def masked_map_stats(
 
     Args:
       attn_fused: (B, M, N) fp32 head-fused attention probabilities.
+      keep_elements: REAL element count per map when the map is padded with
+        exact zeros (the padded serving path) — keep/discard counts are
+        computed on it instead of M*N; zeros never reach the threshold.
     Returns:
       (t (B,) fp32 keep-threshold — 0 when discard is disabled,
        s (B, M) fp32 masked row sums).
     """
     B, M, N = attn_fused.shape
     a = attn_fused.astype(jnp.float32)
-    keep = M * N - int(M * N * discard_ratio)
-    if keep < M * N:
+    real = keep_elements if keep_elements is not None else M * N
+    keep = real - int(real * discard_ratio)
+    if keep < real:
         t = (kth_largest if exact_discard else kth_largest_prefix16)(
             a.reshape(B, M * N), keep
         )

@@ -143,3 +143,47 @@ def test_fused_normalize_bf16_input(rng):
     got = fused_normalize_attention_map(probs, interpret=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-6)
     np.testing.assert_allclose(np.asarray(got).sum(-1), 1.0, atol=1e-5)
+
+
+@pytest.mark.parametrize("ones", [True, False])
+def test_fused_attention_mean_padded_matches_jax(rng, ones):
+    """Padded mean kernel (raw fused map out) vs flax Attention + head-mean:
+    real entries exact in fp32, pads exactly zero."""
+    from protopformer_tpu.kernels.attention_core import (
+        fused_attention_mean_padded,
+    )
+    from protopformer_tpu.models.layers import Attention
+
+    B, N, NP, C, H = 4, 17, 128, 24, 2
+    x = jnp.asarray(rng.normal(size=(B, N, C)).astype(np.float32))
+    if ones:
+        policy = "ones"
+        pol_arr = np.ones((B, N), np.float32)
+    else:
+        keep = (rng.uniform(size=(B, N)) > 0.4).astype(np.float32)
+        keep[:, 0] = 1.0
+        policy = jnp.asarray(keep)
+        pol_arr = keep
+
+    attn_mod = Attention(num_heads=H, dtype=jnp.float32)
+    params = attn_mod.init(jax.random.key(0), x, policy)["params"]
+    want_out, want_probs = attn_mod.apply({"params": params}, x, policy, True)
+    want_map = _fuse_heads(want_probs.astype(jnp.float32), "mean")
+
+    qkv = x @ params["qkv"]["kernel"] + params["qkv"]["bias"]
+    qkv_pad = jnp.pad(qkv, ((0, 0), (0, NP - N), (0, 0)))
+    pol_pad = jnp.pad(jnp.asarray(pol_arr), ((0, 0), (0, NP - N)))
+    got_pre, got_map = fused_attention_mean_padded(
+        qkv_pad, pol_pad, H, real_n=N,
+        compute_dtype=jnp.float32, interpret=True,
+    )
+    got_out = got_pre[:, :N] @ params["proj"]["kernel"] + params["proj"]["bias"]
+    np.testing.assert_allclose(
+        np.asarray(got_out), np.asarray(want_out), atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(got_map[:, :N, :N]), np.asarray(want_map), atol=1e-6
+    )
+    # pads are EXACT zeros (the lazy-rollout/bisect contract)
+    assert np.abs(np.asarray(got_map[:, N:])).max() == 0.0
+    assert np.abs(np.asarray(got_map[:, :, N:])).max() == 0.0

@@ -219,3 +219,68 @@ def test_ppc_loss_grad_is_finite(rng):
 
     grad = jax.grad(f)(act)
     assert np.isfinite(np.asarray(grad)).all()
+
+
+def test_lazy_rollout_matches_eager(rng):
+    """rollout_row_scores_lazy (raw map + threshold + row sums; the hot
+    eval path) must match the eager normalize-then-multiply chain."""
+    from protopformer_tpu.ops.rollout import (
+        masked_map_stats,
+        normalize_attention_map,
+        rollout_row_scores,
+        rollout_row_scores_lazy,
+    )
+
+    B, N, L = 3, 24, 4
+    maps, norm_maps, ts, ss = [], [], [], []
+    for i in range(L):
+        raw = jnp.asarray(
+            jax.nn.softmax(rng.normal(size=(B, N, N)).astype(np.float32) * 2)
+        )
+        maps.append(raw)
+        norm_maps.append(normalize_attention_map(raw, 0.9, 0.2))
+        t, s = masked_map_stats(raw, 0.9)
+        ts.append(t)
+        ss.append(s)
+    seed = jnp.zeros((B, 1, N), jnp.float32).at[:, 0, 0].set(1.0)
+    want = rollout_row_scores(norm_maps, seed)
+    got = rollout_row_scores_lazy(maps, ts, ss, seed, 0.2)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-6, rtol=1e-5)
+
+
+def test_masked_map_stats_padded_keep_elements(rng):
+    """A map padded with exact zeros + keep_elements=real count must give
+    the identical threshold/row sums as the unpadded map (the padded
+    serving path's contract)."""
+    from protopformer_tpu.ops.rollout import masked_map_stats
+
+    B, N, NP = 2, 24, 32
+    raw = jnp.asarray(
+        jax.nn.softmax(rng.normal(size=(B, N, N)).astype(np.float32) * 2)
+    )
+    padded = jnp.zeros((B, NP, NP)).at[:, :N, :N].set(raw)
+    t1, s1 = masked_map_stats(raw, 0.9)
+    t2, s2 = masked_map_stats(padded, 0.9, keep_elements=N * N)
+    np.testing.assert_array_equal(np.asarray(t1), np.asarray(t2))
+    np.testing.assert_array_equal(np.asarray(s1), np.asarray(s2[:, :N]))
+    assert np.asarray(s2[:, N:]).max() == 0.0
+
+
+def test_gelu_exact_matches_reference(rng):
+    """A&S-erf GELU (the model-wide activation) vs scipy's exact erf —
+    must stay inside the 1e-4 parity budget by a wide margin."""
+    import scipy.special as ss
+
+    from protopformer_tpu.ops.activations import gelu_exact
+
+    x = rng.normal(size=(4096,)).astype(np.float32) * 4
+    want = x * 0.5 * (1.0 + ss.erf(x / np.sqrt(2.0)))
+    got = np.asarray(gelu_exact(jnp.asarray(x)))
+    assert np.abs(got - want).max() < 2e-6
+    # bf16 in/out path returns bf16
+    got16 = gelu_exact(jnp.asarray(x, jnp.bfloat16))
+    assert got16.dtype == jnp.bfloat16
+    # grad exists and is finite
+    g = jax.grad(lambda v: jnp.sum(gelu_exact(v)))(jnp.asarray(x))
+    assert np.isfinite(np.asarray(g)).all()
