@@ -56,11 +56,16 @@ def fused_rollout_core(config: BackboneConfig) -> bool:
 def normalize_block_attention(
     attn: jax.Array, config: BackboneConfig
 ) -> jax.Array:
-    """One block's (B, H, N, N) probs -> (B, N, N) fp32 normalized rollout
-    map (pure-JAX path; the fused Pallas core emits maps directly)."""
+    """One block's probs -> (B, N, N) fp32 normalized rollout map.
+    Accepts (B, H, N, N) per-head probs or an already head-fused (B, N, N)
+    map (blocks emit the latter under ``fuse_probs``/the Pallas core)."""
     attn = jax.lax.stop_gradient(attn)
+    fused = (
+        attn.astype(jnp.float32) if attn.ndim == 3
+        else _fuse_heads(attn.astype(jnp.float32), config.rollout_head_fusion)
+    )
     return normalize_attention_map(
-        _fuse_heads(attn.astype(jnp.float32), config.rollout_head_fusion),
+        fused,
         discard_ratio=config.rollout_discard_ratio,
         identity_weight=config.rollout_identity_weight,
         exact_discard=config.rollout_exact_discard,
@@ -106,6 +111,10 @@ class DeiTBackbone(nn.Module):
                 layer_norm_eps=cfg.layer_norm_eps,
                 dtype=self.compute_dtype,
                 rollout_norm=rollout_norm,
+                # 'mean' head fusion (the only preset mode): blocks emit the
+                # fp32 head-MEAN map directly — per-head probs are never
+                # materialized for the rollout tap (layers.Attention)
+                fuse_probs=cfg.rollout_head_fusion == "mean",
                 name=f"blocks_{i}",
             )
             for i in range(depth)
@@ -185,13 +194,12 @@ class DeiTBackbone(nn.Module):
         norm_maps = []
         cls_token_attn = None
 
-        # The rollout runs LAZILY in both paths: per pre-prune block keep the
-        # RAW head-fused fp32 map + its discard threshold + masked row sums
+        # The rollout runs LAZILY: per pre-prune block keep the RAW
+        # head-fused fp32 map + its discard threshold + masked row sums
         # (ops/rollout.py::masked_map_stats); the normalized maps are never
-        # materialized (rollout_row_scores_lazy). With the fused core active
-        # (pallas + deterministic) the block emits the head-fused map
-        # directly; otherwise it returns per-head probs fused here.
-        fused = fused_rollout_core(self.config) and deterministic
+        # materialized (rollout_row_scores_lazy). Blocks emit the head-fused
+        # map directly under 'mean' fusion (fuse_probs / the Pallas core);
+        # max/min parity variants return per-head probs fused here.
         cfg = self.config
         lazy_stats = []
         for i, blk in enumerate(self.blocks):
@@ -207,8 +215,10 @@ class DeiTBackbone(nn.Module):
                 )
             x, aux = blk(x, policy, deterministic)
             if i < last_prune:
-                if fused:
-                    fmap = aux  # already head-fused fp32 (forward-only path)
+                if aux.ndim == 3:
+                    # block emitted the head-fused fp32 map (fuse_probs or
+                    # pallas core); rollout is detached like the reference
+                    fmap = jax.lax.stop_gradient(aux)
                 else:
                     fmap = _fuse_heads(
                         jax.lax.stop_gradient(aux).astype(jnp.float32),

