@@ -23,7 +23,6 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from protopformer_tpu.core.config import BackboneConfig
-from protopformer_tpu.models.deit import normalize_block_attention
 from protopformer_tpu.models.layers import (
     LayerScaleBlock,
     LayerScaleBlockClassAttn,
@@ -31,8 +30,9 @@ from protopformer_tpu.models.layers import (
 )
 from protopformer_tpu.ops.rollout import (
     _fuse_heads,
+    masked_map_stats,
     normalize_attention_map,
-    rollout_row_scores,
+    rollout_row_scores_lazy,
 )
 from protopformer_tpu.ops.tokens import reserve_policy
 
@@ -71,6 +71,9 @@ class CaiTBackbone(nn.Module):
                 init_values=cfg.init_scale,
                 layer_norm_eps=cfg.layer_norm_eps,
                 dtype=self.compute_dtype,
+                # 'mean' head fusion: blocks emit the fp32 head-mean map;
+                # the (B, H, N, N) fp32 cast never materializes
+                fuse_probs=cfg.rollout_head_fusion == "mean",
                 name=f"blocks_{i}",
             )
             for i in range(cfg.depth)
@@ -137,14 +140,26 @@ class CaiTBackbone(nn.Module):
 
         # TPU redesign: only a single row of the SA rollout product is used
         # (the averaged CA row times the product — cait_models_attn.py:259),
-        # so collect the normalized maps and contract with that row in
+        # so keep the LAZY per-layer state (raw fused map + threshold +
+        # masked row sums — ops/rollout.py) and contract with that row in
         # reverse order (O(B*N^2)/layer) instead of the reference's
-        # O(B*N^3)/layer matrix product.
+        # O(B*N^3)/layer matrix product over materialized normalized maps.
+        cfg = self.config
         x = x_embed
-        sa_norm_maps = []
+        sa_maps, sa_ts, sa_ss = [], [], []
         for blk in self.blocks:
             x, attn = blk(x, deterministic)
-            sa_norm_maps.append(normalize_block_attention(attn, self.config))
+            fmap = jax.lax.stop_gradient(attn)
+            if fmap.ndim == 4:  # max/min parity variants
+                fmap = _fuse_heads(
+                    fmap.astype(jnp.float32), cfg.rollout_head_fusion
+                )
+            sa_maps.append(fmap)
+            t, s = masked_map_stats(
+                fmap, cfg.rollout_discard_ratio, cfg.rollout_exact_discard
+            )
+            sa_ts.append(t)
+            sa_ss.append(s)
 
         cls_tokens = cls_embed
         policy = jnp.ones((B, seq_len), dtype=jnp.float32)
@@ -157,8 +172,9 @@ class CaiTBackbone(nn.Module):
                 # times the SA rollout (ref: attn_rollout_cait,
                 # cait_models_attn.py:250-259)
                 cls_mean = jax.lax.stop_gradient(ca_norm_sum) / i
-                cls_scores = rollout_row_scores(
-                    sa_norm_maps, cls_mean[:, :, 1:]
+                cls_scores = rollout_row_scores_lazy(
+                    sa_maps, sa_ts, sa_ss, cls_mean[:, :, 1:],
+                    cfg.rollout_identity_weight,
                 )
                 cls_token_attn = cls_scores[:, 0]
                 policy, _ = reserve_policy(

@@ -294,13 +294,19 @@ class Block(nn.Module):
 
 class TalkingHeadAttention(nn.Module):
     """CaiT talking-heads attention (ref: tools/cait_models_attn.py:93-132):
-    head-mixing linear projections before and after the softmax."""
+    head-mixing linear projections before and after the softmax.
+
+    ``fuse_probs``: return the fp32 head-MEAN of the probabilities instead
+    of the (B, H, N, N) tensor (the rollout tap's contract under 'mean'
+    fusion) — the per-head tensor must exist for the talking-heads mixing,
+    but its fp32 cast never materializes."""
 
     num_heads: int
     qkv_bias: bool = True
     attn_drop: float = 0.0
     proj_drop: float = 0.0
     dtype: Dtype = jnp.float32
+    fuse_probs: bool = False
 
     @nn.compact
     def __call__(
@@ -336,6 +342,8 @@ class TalkingHeadAttention(nn.Module):
         out = nn.Dense(C, dtype=self.dtype, param_dtype=jnp.float32,
                        precision=prec, name="proj")(out)
         out = nn.Dropout(self.proj_drop)(out, deterministic=deterministic)
+        if self.fuse_probs:
+            return out, jnp.mean(probs.astype(jnp.float32), axis=1)
         return out, probs
 
 
@@ -400,6 +408,7 @@ class LayerScaleBlock(nn.Module):
     init_values: float = 1e-4
     layer_norm_eps: float = 1e-6
     dtype: Dtype = jnp.float32
+    fuse_probs: bool = False
 
     @nn.compact
     def __call__(
@@ -414,7 +423,7 @@ class LayerScaleBlock(nn.Module):
         )
         h, attn = TalkingHeadAttention(
             self.num_heads, self.qkv_bias, self.attn_drop, self.drop_rate,
-            dtype=self.dtype, name="attn",
+            dtype=self.dtype, fuse_probs=self.fuse_probs, name="attn",
         )(
             nn.LayerNorm(self.layer_norm_eps, dtype=self.dtype,
                          param_dtype=jnp.float32, name="norm1")(x),

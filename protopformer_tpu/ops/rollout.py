@@ -56,6 +56,13 @@ def kth_largest(flat: jax.Array, keep: int) -> jax.Array:
 
     Returns the same value as ``jax.lax.top_k(flat, keep)[0][:, -1]``.
 
+    Mixed-sign inputs (CaiT's talking-heads maps are not probabilities):
+    negative floats bitcast to negative int32, so every negative value
+    counts as below any candidate threshold — the result is still EXACT
+    whenever the k-th largest value is >= 0, which holds for the rollout's
+    keep-top-10% by construction (tested); it is wrong only if k exceeds
+    the number of non-negative entries.
+
     Args:
       flat: (B, M) fp32, all values >= 0.
       keep: k (static).
@@ -186,7 +193,10 @@ def masked_map_stats(
         )
         s = jnp.sum(jnp.where(a >= t[:, None, None], a, 0.0), axis=-1)
     else:
-        t = jnp.zeros((B,), jnp.float32)
+        # no-discard sentinel must keep EVERYTHING — CaiT's talking-heads
+        # maps are not probabilities and carry negative entries, so 0 is
+        # not a neutral threshold
+        t = jnp.full((B,), -jnp.inf, jnp.float32)
         s = jnp.sum(a, axis=-1)
     return t, s
 

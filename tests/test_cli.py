@@ -67,3 +67,67 @@ def test_main_train_eval_only_resume(tmp_path):
         parser.parse_args(base + ["--eval", "--resume=latest"])
     )
     assert "acc1" in stats
+
+
+def test_main_train_resume_explicit_path_and_reject(tmp_path):
+    """--resume honors an explicit checkpoint directory (ref: main.py:393-407
+    loads from the given path) and fails FAST on a bogus one."""
+    parser = main_train.get_args_parser()
+    base = [
+        "--base_architecture=deit_micro_test",
+        "--data_set=synthetic",
+        "--data_path=",
+        "--img_size=32", "--input_size=32",
+        "--batch_size=8", "--epochs=1", "--warmup-epochs=1",
+        "--prototype_shape", "8", "16", "1", "1",
+        "--reserve_layers", "2",
+        "--reserve_token_nums", "9",
+        "--use_global=True", "--global_proto_per_class=2",
+        "--num_workers=2", "--compute_dtype=float32",
+        "--save_ep_freq=1",
+    ]
+    main_train.main(parser.parse_args(
+        base + [f"--output_dir={tmp_path}/run_a"]
+    ))
+    # resume from run_a's checkpoint ROOT into a different output dir
+    stats = main_train.main(parser.parse_args(
+        base + [f"--output_dir={tmp_path}/run_b", "--eval",
+                f"--resume={tmp_path}/run_a/checkpoints"]
+    ))
+    assert "acc1" in stats
+    # a specific <root>/<epoch> step dir also works
+    import os as _os
+
+    steps = [d for d in _os.listdir(f"{tmp_path}/run_a/checkpoints")
+             if d.isdigit()]
+    stats = main_train.main(parser.parse_args(
+        base + [f"--output_dir={tmp_path}/run_c", "--eval",
+                f"--resume={tmp_path}/run_a/checkpoints/{steps[0]}"]
+    ))
+    assert "acc1" in stats
+    with pytest.raises(FileNotFoundError):
+        main_train.main(parser.parse_args(
+            base + [f"--output_dir={tmp_path}/run_d", "--eval",
+                    "--resume=/nonexistent/ckpt"]
+        ))
+
+
+def test_parity_flags_accepted(tmp_path):
+    """--finetune / --dist_eval / --native_decode parse like the reference
+    surface and do not break a run."""
+    parser = main_train.get_args_parser()
+    args = parser.parse_args([
+        "--base_architecture=deit_micro_test",
+        "--data_set=synthetic", "--data_path=",
+        "--img_size=32", "--input_size=32",
+        "--batch_size=8", "--epochs=1", "--warmup-epochs=1",
+        "--prototype_shape", "8", "16", "1", "1",
+        "--reserve_layers", "2", "--reserve_token_nums", "9",
+        "--use_global=True", "--global_proto_per_class=2",
+        "--num_workers=2", "--compute_dtype=float32",
+        f"--output_dir={tmp_path}/out", "--save_ep_freq=1",
+        "--finetune=some.pth", "--dist_eval=True", "--native_decode=True",
+    ])
+    assert args.finetune == "some.pth" and args.dist_eval is True
+    stats = main_train.main(args)
+    assert "best_acc1" in stats

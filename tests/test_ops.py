@@ -284,3 +284,43 @@ def test_gelu_exact_matches_reference(rng):
     # grad exists and is finite
     g = jax.grad(lambda v: jnp.sum(gelu_exact(v)))(jnp.asarray(x))
     assert np.isfinite(np.asarray(g)).all()
+
+
+def test_kth_largest_mixed_sign(rng):
+    """CaiT's talking-heads maps carry NEGATIVE entries; kth_largest must
+    still be exact while the k-th largest value is non-negative (the
+    rollout's keep-top-10% regime)."""
+    from protopformer_tpu.ops.rollout import kth_largest
+
+    x = jnp.asarray((rng.normal(size=(4, 999)) * 0.1 + 0.02).astype(np.float32))
+    for keep in (10, 100, int((np.asarray(x) >= 0).sum(-1).min())):
+        want = jax.lax.top_k(x, keep)[0][:, -1]
+        got = kth_largest(x, keep)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_lazy_rollout_negative_maps(rng):
+    """The no-discard sentinel must keep negative entries (regression: a 0
+    threshold silently masked them, breaking CaiT's dense-rollout parity)."""
+    from protopformer_tpu.ops.rollout import (
+        masked_map_stats,
+        normalize_attention_map,
+        rollout_row_scores,
+        rollout_row_scores_lazy,
+    )
+
+    B, N, L = 2, 16, 3
+    maps = [
+        jnp.asarray(rng.normal(size=(B, N, N)).astype(np.float32) * 0.1 + 0.05)
+        for _ in range(L)
+    ]
+    seed = jnp.asarray(rng.uniform(size=(B, 1, N)).astype(np.float32))
+    for ratio in (0.0, 0.9):
+        norm = [normalize_attention_map(m, ratio, 0.2) for m in maps]
+        want = rollout_row_scores(norm, seed)
+        ts, ss = zip(*[masked_map_stats(m, ratio) for m in maps])
+        got = rollout_row_scores_lazy(maps, list(ts), list(ss), seed, 0.2)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), atol=1e-5, rtol=1e-5,
+            err_msg=f"ratio={ratio}",
+        )

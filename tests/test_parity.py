@@ -285,3 +285,39 @@ def test_deit_tiny_bf16_speed_mode_selection_contract(exact_discard):
             f"sample {b}: bf16 dropped a confident token "
             f"(fp32 ranks {dropped_ranks})"
         )
+
+
+def test_cait_parity_with_discard(batch):
+    """CaiT masked forward WITH the 0.9 discard active — exercises the
+    k-th-largest threshold on the talking-heads maps, which carry NEGATIVE
+    entries (the round-1 tiny tests ran dense-rollout only, so this path
+    was never parity-checked; kth_largest is exact while the k-th value is
+    non-negative, which keep-top-10% guarantees here)."""
+    from protopformer_tpu.checkpoint import convert_cait_state_dict
+    from protopformer_tpu.models import CaiTBackbone
+    from tests.torch_reference import RefCait
+
+    torch.manual_seed(5)
+    ref = RefCait(img_size=32, patch_size=8, dim=24, depth=3, heads=2,
+                  depth_token_only=2).eval()
+    sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+    params = convert_cait_state_dict(sd, depth=3, depth_token_only=2)
+
+    cfg = BackboneConfig(
+        name="tiny-cait", arch="cait", img_size=32, patch_size=8,
+        embed_dim=24, depth=3, num_heads=2, depth_token_only=2,
+        drop_path_rate=0.0, rollout_discard_ratio=0.9,
+    )
+    model = CaiTBackbone(cfg)
+    with torch.no_grad():
+        t, cls_attn = ref.masked_forward(
+            *ref.embed_all(torch.from_numpy(batch)), [(1, 9)], 0.9
+        )
+    got_t, got_attn = model.apply(
+        {"params": params}, jnp.asarray(batch.transpose(0, 2, 3, 1)),
+        method=lambda m, x: m.masked_forward(*m.embed_all(x), [(1, 9)]),
+    )
+    np.testing.assert_allclose(
+        np.asarray(got_attn), cls_attn.numpy(), atol=1e-5
+    )
+    np.testing.assert_allclose(np.asarray(got_t), t.numpy(), atol=1e-4)
