@@ -56,6 +56,32 @@ class BackboneConfig:
     # ops/rollout.py) measured faster than the per-sample Pallas grid; the
     # kernels remain available for larger-batch/multi-core regimes.
     use_pallas: str = "off"
+    # attention lowering under 'mean' prob fusion: 'headloop' (per-head
+    # 3-D dots) or 'batched' (4-D einsum). Bit-identical; the faster one
+    # is an XLA layout question, re-measured in the bench ablations.
+    attn_impl: str = "headloop"
+    # Fused Pallas kernel for the lazy-rollout map statistics
+    # ("on"/"auto"/"off"): one VMEM-resident pass per map instead of
+    # 15-31 HBM count passes (kernels/stats.py). Default OFF — measured
+    # SLOWER end-to-end on v5e (8.58 vs 6.24 ms at B=96: Mosaic's lowering
+    # of the resident count passes loses more than the saved HBM reads);
+    # kept as a validated ablation for future Mosaic versions.
+    stats_kernel: str = "off"
+    # int8 dynamic quantization of the dense/MLP stack ("int8"/"off").
+    # SERVING feature: the v5e MXU runs int8 at 2x the bf16 rate; weights
+    # are quantized per output column and activations per token at trace
+    # time from the same fp32 params (ops/quant.py). Default off — bf16 is
+    # the AMP-analogous speed mode; int8 is a further opted-in trade with
+    # its own selection-contract test.
+    quantize: str = "off"
+    # Gather the kept tokens at the final prune point and run the remaining
+    # block(s) on the (B, 1+k, D) sequence instead of policy-masking the full
+    # one ("on"/"auto"/"off"). For kept queries the masked softmax equals the
+    # softmax over the kept set up to the 1e-6 eps stabilizer, and dropped
+    # rows are discarded by the final gather anyway — "auto" enables it in
+    # bf16 speed mode and keeps the reference policy-mask path in fp32
+    # parity mode.
+    prune_gather: str = "auto"
 
     @property
     def num_patches(self) -> int:

@@ -27,3 +27,58 @@ def unnormalize_images(x: jax.Array) -> jax.Array:
     mean = jnp.asarray(IMAGENET_MEAN, x.dtype)
     std = jnp.asarray(IMAGENET_STD, x.dtype)
     return x * std + mean
+
+
+def fold_normalization_into_patch_embed(
+    params, mean=IMAGENET_MEAN, std=IMAGENET_STD
+):
+    """Fold the per-channel input normalization into the patch-embed conv.
+
+    The patch embedding is linear in the image, so for kernel W (p, p, 3, D)
+    and bias b:
+
+        conv((x - m) / s; W) + b  ==  conv(x; W / s) + (b - sum_hwc W m / s)
+
+    — the normalize pass (a full fp32 read+write of the batch) disappears
+    from the serving program and the model consumes RAW [0,1] RGB directly.
+    Exact in fp32; in bf16 compute the folded kernel rounds once where the
+    unfolded path rounded the normalized image once (equivalent-magnitude
+    quantization, covered by the speed-mode selection contract test).
+
+    Args:
+      params: the model's ``params`` pytree (any PPNet/BaseNet/backbone tree
+        containing a ``patch_embed/proj`` Conv with fp32 kernel+bias).
+      mean / std: per-channel constants (ImageNet by default).
+
+    Returns:
+      A new params pytree with the folded kernel/bias. The original tree is
+      untouched.
+    """
+    from collections.abc import Mapping
+
+    mean = jnp.asarray(mean, jnp.float32)
+    std = jnp.asarray(std, jnp.float32)
+
+    def fold(tree):
+        if not isinstance(tree, Mapping):
+            return tree
+        out = {}
+        for k, v in tree.items():
+            if (
+                k == "patch_embed" and isinstance(v, Mapping)
+                and "proj" in v and "bias" in v["proj"]
+            ):
+                proj = dict(v["proj"])
+                kernel = jnp.asarray(proj["kernel"], jnp.float32)
+                shift = jnp.einsum(
+                    "hwcd,c->d", kernel, mean / std,
+                    precision=jax.lax.Precision.HIGHEST,
+                )
+                proj["kernel"] = kernel / std[None, None, :, None]
+                proj["bias"] = jnp.asarray(proj["bias"], jnp.float32) - shift
+                out[k] = {**v, "proj": proj}
+            else:
+                out[k] = fold(v)
+        return out
+
+    return fold(params)

@@ -33,7 +33,11 @@ from protopformer_tpu.ops.rollout import (
     rollout_row_scores,
     rollout_row_scores_lazy,
 )
-from protopformer_tpu.ops.tokens import reserve_policy
+from protopformer_tpu.ops.tokens import (
+    gather_tokens,
+    reserve_policy,
+    topk_sorted_indices,
+)
 
 
 def use_pallas_kernels(config: BackboneConfig) -> bool:
@@ -41,6 +45,16 @@ def use_pallas_kernels(config: BackboneConfig) -> bool:
     if config.use_pallas == "on":
         return True
     if config.use_pallas == "off":
+        return False
+    return jax.default_backend() == "tpu"
+
+
+def use_stats_kernel(config: BackboneConfig) -> bool:
+    """Resolve the fused map-stats kernel gate at trace time."""
+    mode = getattr(config, "stats_kernel", "off")
+    if mode == "on":
+        return True
+    if mode == "off":
         return False
     return jax.default_backend() == "tpu"
 
@@ -115,6 +129,12 @@ class DeiTBackbone(nn.Module):
                 # fp32 head-MEAN map directly — per-head probs are never
                 # materialized for the rollout tap (layers.Attention)
                 fuse_probs=cfg.rollout_head_fusion == "mean",
+                quant=getattr(cfg, "quantize", "off") == "int8",
+                attn_impl=getattr(cfg, "attn_impl", "headloop"),
+                # the head-mean always ACCUMULATES fp32; speed mode rounds
+                # once at storage (deeper bf16 accumulation measured ~free
+                # but cost one token of the selection contract: 73/81)
+                map_dtype=jnp.float32,
                 name=f"blocks_{i}",
             )
             for i in range(depth)
@@ -161,6 +181,7 @@ class DeiTBackbone(nn.Module):
         x_embed: jax.Array,
         reserve_layer_nums: Sequence[Tuple[int, int]],
         deterministic: bool = True,
+        gather_final: bool = False,
     ) -> Tuple[jax.Array, jax.Array]:
         """Token-pruning forward (ref: forward_feature_mask_train_direct,
         deit_models_attn.py:209-240).
@@ -176,8 +197,19 @@ class DeiTBackbone(nn.Module):
         one-hot CLS row in reverse order (ops.rollout.rollout_row_scores) —
         O(B*N^2) per layer instead of O(B*N^3).
 
+        ``gather_final`` (speed mode): at the LAST prune point, physically
+        GATHER the kept tokens instead of building a policy mask, and run the
+        remaining block(s) on the (B, 1+k, D) sequence. For every KEPT query
+        the reference's policy-masked softmax reduces to a plain softmax over
+        the kept set (the identity escape only affects dropped rows, whose
+        outputs are discarded by the final top-k gather — same scores, same
+        indices), so the results differ only in the eps/N stabilizer
+        (1e-6-scale, far under bf16 noise). Block 11's attention shrinks
+        197^2 -> 82^2 and its denses run on 82 rows.
+
         Returns:
-          (x (B, 1+N, D) after the final LayerNorm,
+          (x (B, 1+N, D) — or (B, 1+k, D) under ``gather_final`` — after the
+           final LayerNorm,
            cls_token_attn (B, N) fp32 rollout CLS->patch scores from the last
            prune point).
         """
@@ -210,9 +242,20 @@ class DeiTBackbone(nn.Module):
                     cfg.rollout_identity_weight,
                 )
                 cls_token_attn = scores[:, 0, 1:]
-                policy, _ = reserve_policy(
-                    cls_token_attn, reserve_map[i], seq_len
-                )
+                if gather_final and i == last_prune:
+                    # same sorted top-k indices the policy (and the caller's
+                    # final gather) would use — kept tokens only, CLS first
+                    idx = topk_sorted_indices(
+                        cls_token_attn, reserve_map[i]
+                    )
+                    x = jnp.concatenate(
+                        [x[:, :1], gather_tokens(x[:, 1:], idx)], axis=1
+                    )
+                    policy = "ones"
+                else:
+                    policy, _ = reserve_policy(
+                        cls_token_attn, reserve_map[i], seq_len
+                    )
             x, aux = blk(x, policy, deterministic)
             if i < last_prune:
                 if aux.ndim == 3:
@@ -224,11 +267,31 @@ class DeiTBackbone(nn.Module):
                         jax.lax.stop_gradient(aux).astype(jnp.float32),
                         cfg.rollout_head_fusion,
                     )
+                if not cfg.rollout_exact_discard:
+                    # speed mode: store the map bf16 — halves the HBM bytes
+                    # of every bisection count pass and the lazy-rollout
+                    # reads; the head-mean accumulation above stays fp32
+                    fmap = fmap.astype(jnp.bfloat16)
                 norm_maps.append(fmap)
-                lazy_stats.append(masked_map_stats(
-                    fmap, cfg.rollout_discard_ratio,
-                    cfg.rollout_exact_discard,
-                ))
+                if use_stats_kernel(cfg):
+                    # fused kernel: threshold + masked row sums in ONE
+                    # HBM pass (kernels/stats.py), same contract
+                    from protopformer_tpu.kernels.stats import (
+                        fused_map_stats,
+                    )
+
+                    lazy_stats.append(fused_map_stats(
+                        fmap, cfg.rollout_discard_ratio,
+                        cfg.rollout_exact_discard,
+                    ))
+                else:
+                    # value_bound=1.0: DeiT maps are head-fused softmax
+                    # probabilities, so the bisection bracket needs no
+                    # full-map max pass
+                    lazy_stats.append(masked_map_stats(
+                        fmap, cfg.rollout_discard_ratio,
+                        cfg.rollout_exact_discard, value_bound=1.0,
+                    ))
 
         x = self.norm(x)
         return x, cls_token_attn

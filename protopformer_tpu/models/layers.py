@@ -30,6 +30,7 @@ from protopformer_tpu.ops.masking import (
     eps_softmax,
     softmax_with_policy,
 )
+from protopformer_tpu.ops.quant import int8_matmul
 
 Dtype = jnp.dtype
 
@@ -41,6 +42,42 @@ def _matmul_precision(dtype) -> jax.lax.Precision:
         if dtype == jnp.float32
         else jax.lax.Precision.DEFAULT
     )
+
+
+class QuantDense(nn.Module):
+    """Dense layer running on the int8 MXU path (ops/quant.py).
+
+    Param names/shapes/dtypes are IDENTICAL to ``nn.Dense`` (fp32 kernel +
+    bias), so checkpoints, the torch converter, and the optimizer see the
+    same tree; only the serving matmul is quantized (weights per-column,
+    activations per-token, both dynamic)."""
+
+    features: int
+    use_bias: bool = True
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (x.shape[-1], self.features), jnp.float32,
+        )
+        y = int8_matmul(x, kernel, out_dtype=jnp.float32)
+        if self.use_bias:
+            bias = self.param(
+                "bias", nn.initializers.zeros, (self.features,), jnp.float32
+            )
+            y = y + bias
+        return y.astype(self.dtype)
+
+
+def _dense(quant: bool, features: int, dtype, prec, name: str,
+           use_bias: bool = True):
+    """Dense factory: int8 serving path or the standard fp32/bf16 one."""
+    if quant:
+        return QuantDense(features, use_bias=use_bias, dtype=dtype, name=name)
+    return nn.Dense(features, use_bias=use_bias, dtype=dtype,
+                    param_dtype=jnp.float32, precision=prec, name=name)
 
 
 class PatchEmbed(nn.Module):
@@ -75,17 +112,17 @@ class Mlp(nn.Module):
     out_dim: int
     drop_rate: float = 0.0
     dtype: Dtype = jnp.float32
+    quant: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, deterministic: bool = True) -> jax.Array:
-        x = nn.Dense(self.hidden_dim, dtype=self.dtype, param_dtype=jnp.float32,
-                     precision=_matmul_precision(self.dtype), name="fc1")(x)
+        prec = _matmul_precision(self.dtype)
+        x = _dense(self.quant, self.hidden_dim, self.dtype, prec, "fc1")(x)
         # exact-erf semantics via the fused-friendly A&S erf
         # (ops/activations.py — XLA's erf lowering costs ~1.3 ms/model here)
         x = gelu_exact(x)
         x = nn.Dropout(self.drop_rate)(x, deterministic=deterministic)
-        x = nn.Dense(self.out_dim, dtype=self.dtype, param_dtype=jnp.float32,
-                     precision=_matmul_precision(self.dtype), name="fc2")(x)
+        x = _dense(self.quant, self.out_dim, self.dtype, prec, "fc2")(x)
         x = nn.Dropout(self.drop_rate)(x, deterministic=deterministic)
         return x
 
@@ -134,6 +171,15 @@ class Attention(nn.Module):
     # Runs a per-head loop of 3-D dots, which XLA lowers ~15% faster than
     # the 4-D einsum + transpose form (measured, bit-identical).
     fuse_probs: bool = False
+    quant: bool = False
+    # 'headloop' (per-head 3-D dots) or 'batched' (4-D einsum + transpose):
+    # both bit-identical; relative speed is an XLA layout question —
+    # measured per release in the bench ablations.
+    attn_impl: str = "headloop"
+    # dtype of the emitted head-fused rollout map under fuse_probs: fp32
+    # (parity / exact-discard) or bf16 (speed mode — the map is stored
+    # bf16 downstream, so fp32 staging would only add traffic)
+    map_dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(
@@ -147,9 +193,9 @@ class Attention(nn.Module):
         hd = C // H
         prec = _matmul_precision(self.dtype)
 
-        qkv_flat = nn.Dense(
-            3 * C, use_bias=self.qkv_bias, dtype=self.dtype,
-            param_dtype=jnp.float32, precision=prec, name="qkv",
+        qkv_flat = _dense(
+            self.quant, 3 * C, self.dtype, prec, "qkv",
+            use_bias=self.qkv_bias,
         )(x)
 
         use_core = (
@@ -178,8 +224,7 @@ class Attention(nn.Module):
                 real_n=N,
                 compute_dtype=self.dtype,
             )
-            out = nn.Dense(C, dtype=self.dtype, param_dtype=jnp.float32,
-                           precision=prec, name="proj")(out[:, :N])
+            out = _dense(self.quant, C, self.dtype, prec, "proj")(out[:, :N])
             return out, fused_map[:, :N, :N]
 
         def head_softmax(logits):
@@ -196,11 +241,12 @@ class Attention(nn.Module):
                 logits[:, None], policy
             )[:, 0]
 
-        if self.fuse_probs:
+        if self.fuse_probs and self.attn_impl == "headloop":
             # per-head 3-D dots + on-the-fly fp32 mean accumulation: the
             # (B, H, N, N) probability tensor is never materialized for
             # the rollout tap
-            fused = jnp.zeros((B, N, N), jnp.float32)
+            acc_dtype = self.map_dtype
+            fused = jnp.zeros((B, N, N), acc_dtype)
             outs = []
             for h in range(H):
                 q = qkv_flat[:, :, h * hd:(h + 1) * hd]
@@ -210,13 +256,36 @@ class Attention(nn.Module):
                     "bnd,bmd->bnm", q, k, precision=prec
                 ) * (hd ** -0.5)
                 probs = head_softmax(logits)
-                fused = fused + probs.astype(jnp.float32) * (1.0 / H)
+                fused = fused + probs.astype(acc_dtype) * acc_dtype(1.0 / H)
                 outs.append(
                     jnp.einsum("bnm,bmd->bnd", probs, v, precision=prec)
                 )
             out = jnp.concatenate(outs, axis=-1)
-            out = nn.Dense(C, dtype=self.dtype, param_dtype=jnp.float32,
-                           precision=prec, name="proj")(out)
+            out = _dense(self.quant, C, self.dtype, prec, "proj")(out)
+            out = nn.Dropout(self.proj_drop)(out, deterministic=deterministic)
+            return out, fused
+
+        if self.fuse_probs:
+            # batched 4-D dots with head-mean fused map ("batched" impl)
+            qkv = qkv_flat.reshape(B, N, 3, H, hd).transpose(2, 0, 3, 1, 4)
+            q, k, v = qkv[0], qkv[1], qkv[2]
+            logits = jnp.einsum(
+                "bhnd,bhmd->bhnm", q, k, precision=prec
+            ) * (hd ** -0.5)
+            if policy is None:
+                probs = jax.nn.softmax(
+                    logits.astype(jnp.float32), axis=-1
+                ).astype(self.dtype)
+            elif isinstance(policy, str):
+                probs = eps_softmax(logits)
+            else:
+                probs = softmax_with_policy(logits, policy)
+            fused = jnp.mean(probs.astype(jnp.float32), axis=1).astype(
+                self.map_dtype
+            )
+            out = jnp.einsum("bhnm,bhmd->bhnd", probs, v, precision=prec)
+            out = out.transpose(0, 2, 1, 3).reshape(B, N, C)
+            out = _dense(self.quant, C, self.dtype, prec, "proj")(out)
             out = nn.Dropout(self.proj_drop)(out, deterministic=deterministic)
             return out, fused
 
@@ -239,8 +308,7 @@ class Attention(nn.Module):
 
         out = jnp.einsum("bhnm,bhmd->bhnd", probs, v, precision=prec)
         out = out.transpose(0, 2, 1, 3).reshape(B, N, C)
-        out = nn.Dense(C, dtype=self.dtype, param_dtype=jnp.float32,
-                       precision=prec, name="proj")(out)
+        out = _dense(self.quant, C, self.dtype, prec, "proj")(out)
         out = nn.Dropout(self.proj_drop)(out, deterministic=deterministic)
         return out, probs
 
@@ -260,6 +328,9 @@ class Block(nn.Module):
     dtype: Dtype = jnp.float32
     rollout_norm: Optional[Tuple[float, float]] = None
     fuse_probs: bool = False
+    quant: bool = False
+    attn_impl: str = "headloop"
+    map_dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(
@@ -272,7 +343,8 @@ class Block(nn.Module):
         h, attn = Attention(
             self.num_heads, self.qkv_bias, self.attn_drop, self.drop_rate,
             dtype=self.dtype, rollout_norm=self.rollout_norm,
-            fuse_probs=self.fuse_probs, name="attn",
+            fuse_probs=self.fuse_probs, quant=self.quant,
+            attn_impl=self.attn_impl, map_dtype=self.map_dtype, name="attn",
         )(
             nn.LayerNorm(self.layer_norm_eps, dtype=self.dtype,
                          param_dtype=jnp.float32, name="norm1")(x),
@@ -282,7 +354,7 @@ class Block(nn.Module):
         x = x + DropPath(self.drop_path, name="drop_path1")(h, deterministic)
         h = Mlp(
             int(C * self.mlp_ratio), C, self.drop_rate, dtype=self.dtype,
-            name="mlp",
+            quant=self.quant, name="mlp",
         )(
             nn.LayerNorm(self.layer_norm_eps, dtype=self.dtype,
                          param_dtype=jnp.float32, name="norm2")(x),

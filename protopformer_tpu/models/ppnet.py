@@ -194,14 +194,39 @@ class PPNet(nn.Module):
         """
         cfg = self.config
         cls_embed, x_embed = self.features.embed_all(x, deterministic)
+        gather_final = self._gather_at_prune()
         tokens, cls_token_attn = self.features.masked_forward(
-            cls_embed, x_embed, cfg.reserve_layer_nums, deterministic
+            cls_embed, x_embed, cfg.reserve_layer_nums, deterministic,
+            **({"gather_final": True} if gather_final else {}),
         )
-        # second top-k gather of the final reserve set (ref: :156-162)
-        idx = topk_sorted_indices(cls_token_attn, cfg.final_reserve_num)
-        img_tokens = gather_tokens(tokens[:, 1:], idx)
+        if gather_final:
+            # the backbone already gathered the kept set (sorted top-k of
+            # cls_token_attn == exactly the second gather below)
+            img_tokens = tokens[:, 1:]
+        else:
+            # second top-k gather of the final reserve set (ref: :156-162)
+            idx = topk_sorted_indices(cls_token_attn, cfg.final_reserve_num)
+            img_tokens = gather_tokens(tokens[:, 1:], idx)
         cls_tokens = tokens[:, :1]
         return self.add_on(cls_tokens), self.add_on(img_tokens), cls_token_attn
+
+    def _gather_at_prune(self) -> bool:
+        """Resolve BackboneConfig.prune_gather at trace time: only the DeiT
+        masked forward supports it, and only when the final reserve count
+        equals the last prune count (so the gathered set IS the final set)."""
+        cfg = self.config
+        bcfg = self.backbone_config
+        if bcfg.arch != "deit" or not cfg.reserve_layer_nums:
+            return False
+        rmap = dict(cfg.reserve_layer_nums)
+        if rmap[max(rmap)] != cfg.final_reserve_num:
+            return False
+        mode = getattr(bcfg, "prune_gather", "off")
+        if mode == "on":
+            return True
+        if mode == "off":
+            return False
+        return self.compute_dtype != jnp.float32
 
     # --- forward variants ---------------------------------------------------
 

@@ -84,5 +84,12 @@ def prototype_activations(
     """
     d = l2_distances(tokens, prototypes)  # (B, K, P)
     act_maps = distance_to_similarity(d, activation_function, epsilon)
-    pooled = jnp.max(act_maps, axis=1)  # (B, P)
+    # Both activation functions are strictly DECREASING in distance, so
+    # max over the similarity maps == similarity of the min distance —
+    # bit-identical (the log is evaluated at the same float either way),
+    # and when the full maps are unused (the logits-only serving path) XLA
+    # drops the (B, K, P) transcendental entirely.
+    pooled = distance_to_similarity(
+        jnp.min(d, axis=1), activation_function, epsilon
+    )  # (B, P)
     return pooled, d, act_maps

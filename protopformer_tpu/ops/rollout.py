@@ -44,7 +44,9 @@ def _fuse_heads(attn: jax.Array, head_fusion: str) -> jax.Array:
     raise ValueError(f"unknown head_fusion: {head_fusion}")
 
 
-def kth_largest(flat: jax.Array, keep: int) -> jax.Array:
+def kth_largest(
+    flat: jax.Array, keep: int, bound: float = None
+) -> jax.Array:
     """Exact keep-th largest value per row of a NON-NEGATIVE fp32 matrix.
 
     ``jax.lax.top_k`` over the rollout's flattened (B, N*N) maps is a sort —
@@ -64,20 +66,27 @@ def kth_largest(flat: jax.Array, keep: int) -> jax.Array:
     the number of non-negative entries.
 
     Args:
-      flat: (B, M) fp32, all values >= 0.
+      flat: (B, ...) fp32, all values >= 0 — the k-th largest is taken over
+        ALL trailing axes (order-invariant, so no flatten/layout copy).
       keep: k (static).
     Returns:
-      (B,) fp32 k-th largest per row.
+      (B,) fp32 k-th largest per batch element.
     """
     bits = jax.lax.bitcast_convert_type(flat, jnp.int32)  # order-preserving
+    red = tuple(range(1, bits.ndim))
+    texp = (slice(None),) + (None,) * (bits.ndim - 1)
 
     def feasible(t):
-        # count of elements >= t per row
-        return jnp.sum((bits >= t[:, None]).astype(jnp.int32), axis=-1)
+        # count of elements >= t per batch element
+        return jnp.sum((bits >= t[texp]).astype(jnp.int32), axis=red)
 
     B = flat.shape[0]
     lo = jnp.zeros((B,), jnp.int32)
-    hi = jnp.max(bits, axis=-1)
+    if bound is not None:
+        hib = jax.lax.bitcast_convert_type(jnp.float32(bound), jnp.int32)
+        hi = jnp.full((B,), hib, jnp.int32)
+    else:
+        hi = jnp.max(bits, axis=red)
 
     def body(_, carry):
         lo, hi = carry
@@ -90,7 +99,9 @@ def kth_largest(flat: jax.Array, keep: int) -> jax.Array:
     return jax.lax.bitcast_convert_type(lo, jnp.float32)
 
 
-def kth_largest_prefix16(flat: jax.Array, keep: int) -> jax.Array:
+def kth_largest_prefix16(
+    flat: jax.Array, keep: int, bound: float = None
+) -> jax.Array:
     """bf16-prefix k-th-largest threshold (SPEED MODE, approximate ties).
 
     Bisects only the high 16 bits (15 passes instead of 31 — the count
@@ -102,12 +113,18 @@ def kth_largest_prefix16(flat: jax.Array, keep: int) -> jax.Array:
     """
     bits = jax.lax.bitcast_convert_type(flat, jnp.int32) >> 16
     B = flat.shape[0]
+    red = tuple(range(1, bits.ndim))
+    texp = (slice(None),) + (None,) * (bits.ndim - 1)
 
     def feasible(t):
-        return jnp.sum((bits >= t[:, None]).astype(jnp.int32), axis=-1)
+        return jnp.sum((bits >= t[texp]).astype(jnp.int32), axis=red)
 
     lo = jnp.zeros((B,), jnp.int32)
-    hi = jnp.max(bits, axis=-1)
+    if bound is not None:
+        hib = jax.lax.bitcast_convert_type(jnp.float32(bound), jnp.int32)
+        hi = jnp.full((B,), hib >> 16, jnp.int32)
+    else:
+        hi = jnp.max(bits, axis=red)
 
     def body(_, carry):
         lo, hi = carry
@@ -117,6 +134,52 @@ def kth_largest_prefix16(flat: jax.Array, keep: int) -> jax.Array:
 
     lo, hi = jax.lax.fori_loop(0, 15, body, (lo, hi))
     return jax.lax.bitcast_convert_type(lo << 16, jnp.float32)
+
+
+def kth_largest_bf16(
+    flat: jax.Array, keep: int, bound: float = None
+) -> jax.Array:
+    """Exact k-th largest of a NON-NEGATIVE bf16 matrix (SPEED MODE).
+
+    bf16 is the top 16 bits of fp32, so value order equals int16 bit order
+    for non-negative values (positive max 0x7f7f < 2^15 — 15 search steps
+    suffice). Each count pass reads HALF the bytes of the fp32 bisection;
+    exact within bf16 — the approximation is the map's bf16 storage itself.
+
+    Args:
+      flat: (B, ...) bf16, all values >= 0 (k-th largest over all trailing
+        axes).
+      bound: static upper bound on the values, when known (e.g. 1.0 for
+        softmax probability maps) — skips the full-array max pass that
+        otherwise initializes the search bracket.
+    Returns:
+      (B,) bf16 k-th largest per batch element.
+    """
+    bits = jax.lax.bitcast_convert_type(flat, jnp.int16)
+    red = tuple(range(1, bits.ndim))
+    texp = (slice(None),) + (None,) * (bits.ndim - 1)
+
+    def feasible(t):
+        return jnp.sum((bits >= t[texp]).astype(jnp.int32), axis=red)
+
+    B = flat.shape[0]
+    lo = jnp.zeros((B,), jnp.int16)
+    if bound is not None:
+        hib = jax.lax.bitcast_convert_type(
+            jnp.bfloat16(bound), jnp.int16
+        )
+        hi = jnp.full((B,), hib, jnp.int16)
+    else:
+        hi = jnp.max(bits, axis=red)
+
+    def body(_, carry):
+        lo, hi = carry
+        mid = lo + (hi - lo + jnp.int16(1)) // jnp.int16(2)
+        ok = feasible(mid) >= keep
+        return jnp.where(ok, mid, lo), jnp.where(ok, hi, mid - jnp.int16(1))
+
+    lo, hi = jax.lax.fori_loop(0, 15, body, (lo, hi))
+    return jax.lax.bitcast_convert_type(lo, jnp.bfloat16)
 
 
 def normalize_attention_map(
@@ -143,14 +206,14 @@ def normalize_attention_map(
     a = attn_fused.astype(jnp.float32)
     keep = M * N - int(M * N * discard_ratio)
     if keep < M * N:
-        flat = a.reshape(B, M * N)
         # torch zeroes the k smallest by index; thresholding on the keep-th
-        # largest value is equivalent up to ties at the threshold.
+        # largest value is equivalent up to ties at the threshold. The
+        # k-th statistic is taken on the (B, M, N) layout directly —
+        # order-invariant, so no flatten/layout copy.
         kth = (kth_largest if exact_discard else kth_largest_prefix16)(
-            flat, keep
+            a, keep
         )
-        flat = jnp.where(flat >= kth[:, None], flat, 0.0)
-        a = flat.reshape(B, M, N)
+        a = jnp.where(a >= kth[:, None, None], a, 0.0)
     # identity is row-truncated for class-attention maps (M < N)
     # (ref: cait_models_attn.py:240-241)
     eye = jnp.eye(N, dtype=jnp.float32)[:M]
@@ -163,6 +226,7 @@ def masked_map_stats(
     discard_ratio: float = 0.9,
     exact_discard: bool = True,
     keep_elements: int = None,
+    value_bound: float = None,
 ) -> Tuple[jax.Array, jax.Array]:
     """Discard threshold + masked row sums of one fused map — the compact
     per-layer state for the LAZY rollout chain (rollout_row_scores_lazy).
@@ -175,29 +239,48 @@ def masked_map_stats(
     40 MB fp32 write + read per layer at production shape.
 
     Args:
-      attn_fused: (B, M, N) fp32 head-fused attention probabilities.
+      attn_fused: (B, M, N) fp32 head-fused attention probabilities — or
+        bf16 in speed mode (``exact_discard=False``): the bisection runs on
+        the bf16 bit patterns directly (kth_largest_bf16) and the row sums
+        accumulate fp32; every pass reads half the bytes.
       keep_elements: REAL element count per map when the map is padded with
         exact zeros (the padded serving path) — keep/discard counts are
         computed on it instead of M*N; zeros never reach the threshold.
+      value_bound: static upper bound on the map values when known (1.0
+        for softmax probability maps) — skips the bracket-init max pass.
+        Do NOT pass for CaiT talking-heads maps (not probabilities).
     Returns:
-      (t (B,) fp32 keep-threshold — 0 when discard is disabled,
-       s (B, M) fp32 masked row sums).
+      (t (B,) keep-threshold in the map dtype — -inf when discard is
+       disabled, s (B, M) fp32 masked row sums).
     """
     B, M, N = attn_fused.shape
-    a = attn_fused.astype(jnp.float32)
+    if attn_fused.dtype == jnp.bfloat16 and not exact_discard:
+        a = attn_fused
+        kth_fn = kth_largest_bf16
+    else:
+        a = attn_fused.astype(jnp.float32)
+        kth_fn = kth_largest if exact_discard else kth_largest_prefix16
     real = keep_elements if keep_elements is not None else M * N
     keep = real - int(real * discard_ratio)
     if keep < real:
-        t = (kth_largest if exact_discard else kth_largest_prefix16)(
-            a.reshape(B, M * N), keep
+        # flatten for the count passes: (B, M*N) pads to 128 lanes with
+        # +0.3% waste, vs +31% counting on the (B, M, N) tiles directly.
+        # The flatten does cost a physical transpose copy of the QK-dot's
+        # token-major map layout (~0.2 ms/step at B=96), but both
+        # alternatives measured worse end-to-end (3-D count: 8.4 ms vs
+        # 6.2; swapaxes-first flatten: 140 ms — XLA re-materializes it
+        # per count pass).
+        t = kth_fn(a.reshape(a.shape[0], -1), keep, bound=value_bound)
+        s = jnp.sum(
+            jnp.where(a >= t[:, None, None], a, 0),
+            axis=-1, dtype=jnp.float32,
         )
-        s = jnp.sum(jnp.where(a >= t[:, None, None], a, 0.0), axis=-1)
     else:
         # no-discard sentinel must keep EVERYTHING — CaiT's talking-heads
         # maps are not probabilities and carry negative entries, so 0 is
         # not a neutral threshold
         t = jnp.full((B,), -jnp.inf, jnp.float32)
-        s = jnp.sum(a, axis=-1)
+        s = jnp.sum(a, axis=-1, dtype=jnp.float32)
     return t, s
 
 
@@ -221,8 +304,9 @@ def rollout_row_scores_lazy(
     R-row vector), well inside the 1e-5 rollout parity budget.
 
     Args:
-      fused_maps: per-layer (B, N, N) fp32 RAW head-fused maps, forward
-        order.
+      fused_maps: per-layer (B, N, N) RAW head-fused maps, forward order —
+        fp32 (parity) or bf16 (speed mode; the mask-multiply promotes to
+        fp32 against the carried row, so only the map READS are half-width).
       thresholds / row_sums: per-layer outputs of ``masked_map_stats``.
       seed_row: (B, R, N) rows to propagate (R=1 for the CLS row).
 

@@ -1,0 +1,175 @@
+"""Tests for the serving-speed paths added in round 2:
+
+  * min-distance pooled activations (exact algebraic rewrite),
+  * gather-at-prune final block (speed mode),
+  * bf16 rollout-map storage + bf16 bisection (speed mode),
+  * normalization folded into the patch-embed conv (serving transform).
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from protopformer_tpu.core.config import BackboneConfig, PPNetConfig
+from protopformer_tpu.data.preprocess import (
+    fold_normalization_into_patch_embed,
+    normalize_images,
+)
+from protopformer_tpu.models import construct_ppnet
+from protopformer_tpu.ops.distances import prototype_activations
+from protopformer_tpu.ops.rollout import kth_largest_bf16
+
+TINY = dict(
+    name="tiny-test", arch="deit", img_size=32, patch_size=8,
+    embed_dim=24, depth=3, num_heads=2, drop_path_rate=0.1,
+)
+TINY_PPNET = PPNetConfig(
+    prototype_shape=(40, 16, 1, 1), num_classes=4,
+    reserve_layers=(2,), reserve_token_nums=(9,),
+    use_global=True, global_proto_per_class=3,
+)
+
+
+@pytest.fixture(scope="module")
+def images():
+    rng = np.random.default_rng(7)
+    return jnp.asarray(rng.uniform(size=(3, 32, 32, 3)).astype(np.float32))
+
+
+@pytest.fixture(scope="module")
+def params(images):
+    model = construct_ppnet(BackboneConfig(**TINY), TINY_PPNET)
+    return model.init(jax.random.key(0), images)["params"]
+
+
+def test_pooled_activation_equals_max_of_maps(rng=np.random.default_rng(3)):
+    """min-distance-then-similarity == max over the similarity maps,
+    bitwise (the log is evaluated at the same float either way)."""
+    tokens = jnp.asarray(rng.normal(size=(2, 9, 16)).astype(np.float32))
+    protos = jnp.asarray(rng.normal(size=(11, 16)).astype(np.float32))
+    for fn in ("log", "linear"):
+        pooled, _, maps = prototype_activations(tokens, protos, fn)
+        np.testing.assert_array_equal(
+            np.asarray(pooled), np.asarray(maps).max(axis=1)
+        )
+
+
+def test_kth_largest_bf16_matches_topk(rng=np.random.default_rng(4)):
+    x = jnp.asarray(
+        rng.gamma(0.3, 1.0, size=(5, 300)).astype(np.float32)
+    ).astype(jnp.bfloat16)
+    for keep in (1, 30, 299):
+        got = kth_largest_bf16(x, keep)
+        want = jax.lax.top_k(x.astype(jnp.float32), keep)[0][:, -1]
+        np.testing.assert_array_equal(
+            np.asarray(got.astype(jnp.float32)), np.asarray(want)
+        )
+
+
+def test_gather_at_prune_matches_policy_path(images, params):
+    """Forced-on gather path vs the reference policy-mask path in fp32:
+    identical rollout scores + token selection; logits differ only by the
+    eps/N softmax stabilizer (~1e-6)."""
+    on = construct_ppnet(
+        BackboneConfig(**TINY, prune_gather="on"), TINY_PPNET
+    )
+    off = construct_ppnet(
+        BackboneConfig(**TINY, prune_gather="off"), TINY_PPNET
+    )
+    x = normalize_images(images)
+    o_on = jax.jit(lambda p, x: on.apply({"params": p}, x))(params, x)
+    o_off = jax.jit(lambda p, x: off.apply({"params": p}, x))(params, x)
+    np.testing.assert_array_equal(
+        np.asarray(o_on.cls_token_attn), np.asarray(o_off.cls_token_attn)
+    )
+    np.testing.assert_allclose(
+        np.asarray(o_on.logits), np.asarray(o_off.logits),
+        rtol=0, atol=1e-4,
+    )
+    np.testing.assert_allclose(
+        np.asarray(o_on.distances), np.asarray(o_off.distances),
+        rtol=0, atol=1e-4,
+    )
+
+
+def test_gather_at_prune_auto_gates_on_dtype(images, params):
+    """auto: policy path in fp32 (bit-parity mode), gather path in bf16."""
+    auto = construct_ppnet(
+        BackboneConfig(**TINY, prune_gather="auto"), TINY_PPNET
+    )
+    off = construct_ppnet(
+        BackboneConfig(**TINY, prune_gather="off"), TINY_PPNET
+    )
+    x = normalize_images(images)
+    o_auto = auto.apply({"params": params}, x)
+    o_off = off.apply({"params": params}, x)
+    # fp32 auto == policy path bitwise
+    np.testing.assert_array_equal(
+        np.asarray(o_auto.logits), np.asarray(o_off.logits)
+    )
+
+
+def test_gather_at_prune_train_gradients(images, params):
+    """Training forward + grads run through the gathered path."""
+    on = construct_ppnet(
+        BackboneConfig(**TINY, prune_gather="on"), TINY_PPNET
+    )
+    x = normalize_images(images)
+    labels = jnp.asarray([0, 1, 2])
+
+    def loss_fn(p):
+        out = on.apply(
+            {"params": p}, x, train=True,
+            rngs={"droppath": jax.random.key(1), "dropout": jax.random.key(2)},
+        )
+        onehot = jax.nn.one_hot(labels, 4)
+        return -jnp.mean(
+            jnp.sum(jax.nn.log_softmax(out.logits) * onehot, axis=-1)
+        )
+
+    g = jax.grad(loss_fn)(params)
+    leaves = jax.tree_util.tree_leaves(g)
+    assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
+    # backbone params get gradient through the gathered final block
+    gn = np.asarray(
+        jnp.linalg.norm(g["features"]["blocks_2"]["attn"]["qkv"]["kernel"])
+    )
+    assert gn > 0
+
+
+def test_bf16_map_speed_mode_close_to_fp32(images, params):
+    """Speed mode (bf16 compute + bf16 map storage + bf16 bisection) tracks
+    the fp32 parity path within bf16-scale error on the rollout scores."""
+    speed = construct_ppnet(
+        BackboneConfig(**TINY, rollout_exact_discard=False),
+        TINY_PPNET, compute_dtype=jnp.bfloat16,
+    )
+    exact = construct_ppnet(BackboneConfig(**TINY), TINY_PPNET)
+    x = normalize_images(images)
+    o_s = speed.apply({"params": params}, x)
+    o_e = exact.apply({"params": params}, x)
+    s = np.asarray(o_s.cls_token_attn)
+    e = np.asarray(o_e.cls_token_attn)
+    assert np.abs(s - e).max() < 0.05
+    # ranking agreement on the kept set
+    k = 9
+    for i in range(s.shape[0]):
+        kept_s = set(np.argsort(-s[i])[:k].tolist())
+        kept_e = set(np.argsort(-e[i])[:k].tolist())
+        assert len(kept_s & kept_e) >= k - 2
+
+
+def test_fold_normalization_matches_on_device_normalize(images, params):
+    """conv((x-m)/s) == conv_folded(x) in fp32 within float reassociation."""
+    model = construct_ppnet(BackboneConfig(**TINY), TINY_PPNET)
+    folded = fold_normalization_into_patch_embed(params)
+    ref = model.apply({"params": params}, normalize_images(images))
+    got = model.apply({"params": folded}, images)
+    np.testing.assert_allclose(
+        np.asarray(got.logits), np.asarray(ref.logits), rtol=0, atol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(got.cls_token_attn), np.asarray(ref.cls_token_attn),
+        rtol=0, atol=1e-5,
+    )
