@@ -144,6 +144,54 @@ class DropPath(nn.Module):
         return jnp.where(mask, x / keep, jnp.zeros_like(x)).astype(x.dtype)
 
 
+class _SlicedQKV(nn.Module):
+    """qkv projection evaluated as per-head kernel-slice dots.
+
+    Owns the SAME param tree as the fused ``nn.Dense(3C, name="qkv")``
+    (one (C, 3C) fp32 kernel + (3C,) bias), but contracts each head's
+    slice separately so the activations are never sliced along channels
+    (see Attention 'headdense' rationale). Returns [(q, k, v)] per head.
+    """
+
+    num_heads: int
+    use_bias: bool = True
+    dtype: Dtype = jnp.float32
+    precision: jax.lax.Precision = jax.lax.Precision.DEFAULT
+
+    @nn.compact
+    def __call__(self, x: jax.Array):
+        C = x.shape[-1]
+        H = self.num_heads
+        hd = C // H
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(), (C, 3 * C),
+            jnp.float32,
+        ).astype(self.dtype)
+        bias = (
+            self.param(
+                "bias", nn.initializers.zeros, (3 * C,), jnp.float32
+            ).astype(self.dtype)
+            if self.use_bias else None
+        )
+        xc = x.astype(self.dtype)
+
+        def dense_slice(off):
+            w = jax.lax.slice_in_dim(kernel, off, off + hd, axis=1)
+            y = jnp.einsum("bnc,cd->bnd", xc, w, precision=self.precision)
+            if bias is not None:
+                y = y + jax.lax.slice_in_dim(bias, off, off + hd, axis=0)
+            return y
+
+        return [
+            (
+                dense_slice(h * hd),
+                dense_slice(C + h * hd),
+                dense_slice(2 * C + h * hd),
+            )
+            for h in range(H)
+        ]
+
+
 class Attention(nn.Module):
     """Multi-head self-attention returning its probability tensor.
 
@@ -181,6 +229,18 @@ class Attention(nn.Module):
     # bf16 downstream, so fp32 staging would only add traffic)
     map_dtype: Dtype = jnp.float32
 
+    def _head_softmax(self, logits: jax.Array, policy) -> jax.Array:
+        """Per-head (B, N, N) softmax with the configured masking."""
+        if policy is None:
+            return jax.nn.softmax(
+                logits.astype(jnp.float32), axis=-1
+            ).astype(self.dtype)
+        if isinstance(policy, str):
+            # statically all-ones policy (pre-prune blocks): same math
+            # as softmax_with_policy(logits, ones) minus the tensor
+            return eps_softmax(logits)
+        return softmax_with_policy(logits[:, None], policy)[:, 0]
+
     @nn.compact
     def __call__(
         self,
@@ -192,6 +252,37 @@ class Attention(nn.Module):
         H = self.num_heads
         hd = C // H
         prec = _matmul_precision(self.dtype)
+
+        if self.fuse_probs and self.attn_impl == "headdense":
+            # Per-head kernel slices + 3H small dots on the channel-minor
+            # stream. Rationale (profiled): slicing the qkv ACTIVATIONS at
+            # 64-channel offsets is lane-misaligned, so XLA flips the whole
+            # residual stream to a token-major layout where those slices
+            # are sublane-aligned — and that layout cripples every
+            # LayerNorm+dense fusion (the top op, 2.8 ms/iter at B=160).
+            # (x @ W)[:, s:e] == x @ W[:, s:e] element-wise, so the math is
+            # the headloop's; the param tree is the unchanged "qkv" Dense.
+            heads = _SlicedQKV(
+                num_heads=H, use_bias=self.qkv_bias, dtype=self.dtype,
+                precision=prec, name="qkv",
+            )(x)
+            fused = jnp.zeros((B, N, N), self.map_dtype)
+            outs = []
+            for q, k, v in heads:
+                logits = jnp.einsum(
+                    "bnd,bmd->bnm", q, k, precision=prec
+                ) * (hd ** -0.5)
+                probs = self._head_softmax(logits, policy)
+                fused = fused + probs.astype(self.map_dtype) * (
+                    jnp.asarray(1.0 / H, self.map_dtype)
+                )
+                outs.append(
+                    jnp.einsum("bnm,bmd->bnd", probs, v, precision=prec)
+                )
+            out = jnp.concatenate(outs, axis=-1)
+            out = _dense(self.quant, C, self.dtype, prec, "proj")(out)
+            out = nn.Dropout(self.proj_drop)(out, deterministic=deterministic)
+            return out, fused
 
         qkv_flat = _dense(
             self.quant, 3 * C, self.dtype, prec, "qkv",
@@ -227,19 +318,7 @@ class Attention(nn.Module):
             out = _dense(self.quant, C, self.dtype, prec, "proj")(out[:, :N])
             return out, fused_map[:, :N, :N]
 
-        def head_softmax(logits):
-            """Per-head (B, N, N) softmax with the configured masking."""
-            if policy is None:
-                return jax.nn.softmax(
-                    logits.astype(jnp.float32), axis=-1
-                ).astype(self.dtype)
-            if isinstance(policy, str):
-                # statically all-ones policy (pre-prune blocks): same math
-                # as softmax_with_policy(logits, ones) minus the tensor
-                return eps_softmax(logits)
-            return softmax_with_policy(
-                logits[:, None], policy
-            )[:, 0]
+        head_softmax = lambda logits: self._head_softmax(logits, policy)  # noqa: E731
 
         if self.fuse_probs and self.attn_impl == "headloop":
             # per-head 3-D dots + on-the-fly fp32 mean accumulation: the
@@ -261,6 +340,32 @@ class Attention(nn.Module):
                     jnp.einsum("bnm,bmd->bnd", probs, v, precision=prec)
                 )
             out = jnp.concatenate(outs, axis=-1)
+            out = _dense(self.quant, C, self.dtype, prec, "proj")(out)
+            out = nn.Dropout(self.proj_drop)(out, deterministic=deterministic)
+            return out, fused
+
+        if self.fuse_probs and self.attn_impl == "einsum":
+            # transpose-free einsum forms: the head axis stays where the
+            # qkv Dense produced it and the dots absorb the layouts
+            qkv5 = qkv_flat.reshape(B, N, 3, H, hd)
+            q, k, v = qkv5[:, :, 0], qkv5[:, :, 1], qkv5[:, :, 2]
+            logits = jnp.einsum(
+                "bnhd,bmhd->bhnm", q, k, precision=prec
+            ) * (hd ** -0.5)
+            if policy is None:
+                probs = jax.nn.softmax(
+                    logits.astype(jnp.float32), axis=-1
+                ).astype(self.dtype)
+            elif isinstance(policy, str):
+                probs = eps_softmax(logits)
+            else:
+                probs = softmax_with_policy(logits, policy)
+            fused = jnp.mean(probs.astype(jnp.float32), axis=1).astype(
+                self.map_dtype
+            )
+            out = jnp.einsum(
+                "bhnm,bmhd->bnhd", probs, v, precision=prec
+            ).reshape(B, N, C)
             out = _dense(self.quant, C, self.dtype, prec, "proj")(out)
             out = nn.Dropout(self.proj_drop)(out, deterministic=deterministic)
             return out, fused

@@ -207,11 +207,9 @@ def normalize_attention_map(
     keep = M * N - int(M * N * discard_ratio)
     if keep < M * N:
         # torch zeroes the k smallest by index; thresholding on the keep-th
-        # largest value is equivalent up to ties at the threshold. The
-        # k-th statistic is taken on the (B, M, N) layout directly —
-        # order-invariant, so no flatten/layout copy.
+        # largest value is equivalent up to ties at the threshold.
         kth = (kth_largest if exact_discard else kth_largest_prefix16)(
-            a, keep
+            a.reshape(B, M * N), keep
         )
         a = jnp.where(a >= kth[:, None, None], a, 0.0)
     # identity is row-truncated for class-attention maps (M < N)
@@ -264,12 +262,12 @@ def masked_map_stats(
     keep = real - int(real * discard_ratio)
     if keep < real:
         # flatten for the count passes: (B, M*N) pads to 128 lanes with
-        # +0.3% waste, vs +31% counting on the (B, M, N) tiles directly.
-        # The flatten does cost a physical transpose copy of the QK-dot's
-        # token-major map layout (~0.2 ms/step at B=96), but both
-        # alternatives measured worse end-to-end (3-D count: 8.4 ms vs
-        # 6.2; swapaxes-first flatten: 140 ms — XLA re-materializes it
-        # per count pass).
+        # +0.3% waste vs +31% counting on the (B, M, N) tiles. The
+        # flatten costs a transpose copy of the QK-dot's token-major map
+        # layout, but every alternative measured worse end-to-end:
+        # 3-D counting 8.4 vs 6.2 ms; swapaxes-first flatten 140 ms (XLA
+        # re-materializes it per pass); float-space compares on the
+        # native layout (no int16 view at all) 8.0 vs 6.2 ms at B=96.
         t = kth_fn(a.reshape(a.shape[0], -1), keep, bound=value_bound)
         s = jnp.sum(
             jnp.where(a >= t[:, None, None], a, 0),
