@@ -40,6 +40,10 @@ class BackboneConfig:
     drop_rate: float = 0.0  # ref: main.py:81 --drop
     drop_path_rate: float = 0.1  # ref: main.py:83 --drop_path
     layer_norm_eps: float = 1e-6
+    # distillation-token variant (ref: DistilledVisionTransformer,
+    # deit_models_attn.py:243-282 — registered by the reference but unused
+    # by its ProtoPFormer pipeline; kept for backbone-surface parity)
+    distilled: bool = False
     # CaiT-only knobs (ignored for deit):
     depth_token_only: int = 2  # class-attention blocks (ref: cait_models_attn.py:202)
     init_scale: float = 1e-5  # LayerScale init (ref: cait_models_attn.py:373)
@@ -113,10 +117,35 @@ BACKBONE_PRESETS: Dict[str, BackboneConfig] = {
         name="cait_s24_224", arch="cait",
         embed_dim=384, depth=24, num_heads=8, init_scale=1e-5,
     ),
+    "deit_base_patch16_384": BackboneConfig(
+        name="deit_base_patch16_384", arch="deit", img_size=384,
+        embed_dim=768, depth=12, num_heads=12,
+    ),
+    # distilled variants (ref: deit_models_attn.py:330-404)
+    "deit_tiny_distilled_patch16_224": BackboneConfig(
+        name="deit_tiny_distilled_patch16_224", arch="deit",
+        embed_dim=192, depth=12, num_heads=3, distilled=True,
+    ),
+    "deit_small_distilled_patch16_224": BackboneConfig(
+        name="deit_small_distilled_patch16_224", arch="deit",
+        embed_dim=384, depth=12, num_heads=6, distilled=True,
+    ),
+    "deit_base_distilled_patch16_224": BackboneConfig(
+        name="deit_base_distilled_patch16_224", arch="deit",
+        embed_dim=768, depth=12, num_heads=12, distilled=True,
+    ),
+    "deit_base_distilled_patch16_384": BackboneConfig(
+        name="deit_base_distilled_patch16_384", arch="deit", img_size=384,
+        embed_dim=768, depth=12, num_heads=12, distilled=True,
+    ),
     # Tiny-image variants used for smoke tests (ref: deit_models_attn.py:405-434)
     "deit_tiny_patch2_32": BackboneConfig(
         name="deit_tiny_patch2_32", arch="deit",
         img_size=32, patch_size=2, embed_dim=192, depth=12, num_heads=3,
+    ),
+    "deit_tiny_patch2_28": BackboneConfig(
+        name="deit_tiny_patch2_28", arch="deit",
+        img_size=28, patch_size=2, embed_dim=192, depth=12, num_heads=3,
     ),
     # micro config for CI smoke tests (CPU-fast; not a reference model)
     "deit_micro_test": BackboneConfig(

@@ -142,6 +142,15 @@ class PPNet(nn.Module):
 
     def setup(self):
         cfg = self.config
+        # the reference rejects non-instrumented backbones by class-name
+        # prefix (protopformer.py:78-86); distilled variants are standalone
+        # classifiers, not feature extractors
+        if getattr(self.backbone_config, "distilled", False):
+            raise ValueError(
+                "PPNet requires an attention-tap backbone; distilled "
+                "variants are standalone classifiers (ref: "
+                "deit_models_attn.py:243-282)"
+            )
         self.features = create_backbone(
             self.backbone_config, compute_dtype=self.compute_dtype
         )

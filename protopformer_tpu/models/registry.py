@@ -15,7 +15,7 @@ import jax.numpy as jnp
 
 from protopformer_tpu.core.config import BACKBONE_PRESETS, BackboneConfig, backbone_preset
 from protopformer_tpu.models.cait import CaiTBackbone
-from protopformer_tpu.models.deit import DeiTBackbone
+from protopformer_tpu.models.deit import DeiTBackbone, DistilledDeiT
 
 BACKBONE_REGISTRY = tuple(BACKBONE_PRESETS)
 
@@ -37,6 +37,11 @@ def create_backbone(
     else:
         cfg = name_or_config
     if cfg.arch == "deit":
+        if getattr(cfg, "distilled", False):
+            # standalone dual-head classifier (ref: deit_models_attn.py:
+            # 243-282) — registered for surface parity; NOT a PPNet
+            # feature extractor (the reference pipeline never uses it)
+            return DistilledDeiT(cfg, compute_dtype=compute_dtype)
         return DeiTBackbone(cfg, compute_dtype=compute_dtype)
     if cfg.arch == "cait":
         return CaiTBackbone(cfg, compute_dtype=compute_dtype)

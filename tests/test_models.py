@@ -259,3 +259,42 @@ def test_pruning_masks_attention(images):
     # no *final* distance mass — proxy: top-9 indices are within range
     idx = np.argsort(-np.asarray(out.cls_token_attn), axis=-1)[:, :9]
     assert (idx < 16).all()
+
+
+def test_registry_surface_parity(images):
+    """Every reference registration resolves to a constructible preset
+    (ref: deit_models_attn.py:285-434, cait_models_attn.py:371-382)."""
+    from protopformer_tpu.core.config import BACKBONE_PRESETS
+    from protopformer_tpu.models.registry import create_backbone
+
+    ref_names = [
+        "deit_tiny_patch16_224", "deit_small_patch16_224",
+        "deit_base_patch16_224", "deit_tiny_distilled_patch16_224",
+        "deit_small_distilled_patch16_224", "deit_base_distilled_patch16_224",
+        "deit_base_patch16_384", "deit_base_distilled_patch16_384",
+        "deit_tiny_patch2_32", "deit_tiny_patch2_28",
+        "cait_xxs24_224", "cait_s24_224",
+    ]
+    for name in ref_names:
+        assert name in BACKBONE_PRESETS, name
+        create_backbone(name)  # constructs a module (no init — cheap)
+
+
+def test_distilled_preset_dispatch(images):
+    """Distilled presets resolve to DistilledDeiT; PPNet rejects them like
+    the reference's class-name check (protopformer.py:78-86)."""
+    import dataclasses
+
+    from protopformer_tpu.models import DistilledDeiT, construct_ppnet
+    from protopformer_tpu.models.registry import create_backbone
+
+    cfg = dataclasses.replace(
+        TINY_DEIT, distilled=True, drop_path_rate=0.0
+    )
+    model = create_backbone(cfg)
+    assert isinstance(model, DistilledDeiT)
+    params = model.init(jax.random.key(0), images)["params"]
+    assert model.apply({"params": params}, images).shape == (2, 1000)
+
+    with pytest.raises(ValueError, match="distilled"):
+        construct_ppnet(cfg, TINY_PPNET).init(jax.random.key(0), images)

@@ -321,3 +321,66 @@ def test_cait_parity_with_discard(batch):
         np.asarray(got_attn), cls_attn.numpy(), atol=1e-5
     )
     np.testing.assert_allclose(np.asarray(got_t), t.numpy(), atol=1e-4)
+
+
+def test_ppnet_gradient_parity(batch):
+    """BACKWARD parity: d(CE loss)/d(params) matches torch autograd through
+    the full PPNet graph (masked forward incl. the detached rollout, policy
+    top-k, dual-branch head). Forward parity alone cannot catch a wrong
+    stop_gradient boundary or a broken custom-op VJP; this pins the
+    training graph end-to-end. Gradients are mapped into the JAX tree with
+    the SAME converter as the weights (gradients transform covariantly
+    under the transpose-only layout mapping)."""
+    ref_bk = RefDeiT(img_size=32, patch_size=8, dim=24, depth=3, heads=2)
+    ref = RefPPNet(
+        ref_bk, num_prototypes=40, proto_dim=16, num_classes=4,
+        reserve_layer_nums=[(2, 9)], global_per_class=3,
+        discard_ratio=0.0,
+    )
+    sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+    params = convert_ppnet_state_dict(sd, arch="deit", depth=3)
+    model = construct_ppnet(BK, PP)
+
+    labels = np.asarray([0, 2])
+    logits_t, *_ = ref(torch.from_numpy(batch))
+    loss_t = torch.nn.functional.cross_entropy(
+        logits_t, torch.from_numpy(labels).long()
+    )
+    loss_t.backward()
+    grad_sd = {
+        k: p.grad.detach().numpy()
+        for k, p in ref.named_parameters() if p.grad is not None
+    }
+    # missing grads (unreached params) -> zeros so the converter can map
+    for k, v in sd.items():
+        grad_sd.setdefault(k, np.zeros_like(v))
+    grads_ref = convert_ppnet_state_dict(grad_sd, arch="deit", depth=3)
+
+    def loss_fn(p):
+        out = model.apply(
+            {"params": p}, jnp.asarray(batch.transpose(0, 2, 3, 1)),
+            train=True,
+            rngs={"droppath": jax.random.key(0), "dropout": jax.random.key(1)},
+        )
+        onehot = jax.nn.one_hot(jnp.asarray(labels), 4)
+        return -jnp.mean(
+            jnp.sum(jax.nn.log_softmax(out.logits) * onehot, axis=-1)
+        )
+
+    loss_j, grads = jax.value_and_grad(loss_fn)(params)
+    np.testing.assert_allclose(
+        float(loss_j), float(loss_t.detach()), atol=1e-5
+    )
+
+    flat_ref = jax.tree_util.tree_leaves_with_path(grads_ref)
+    flat_got = dict(jax.tree_util.tree_leaves_with_path(grads))
+    checked = 0
+    for path, g_ref in flat_ref:
+        g_got = flat_got[path]
+        scale = max(np.abs(np.asarray(g_ref)).max(), 1e-8)
+        np.testing.assert_allclose(
+            np.asarray(g_got), np.asarray(g_ref), atol=2e-4 * scale + 1e-7,
+            err_msg=str(path),
+        )
+        checked += 1
+    assert checked >= 30  # every param leaf compared
