@@ -271,3 +271,140 @@ def convert_ppnet_state_dict(
         )[:, :, 0, 0]
         params["last_layer_global_w"] = _t(sd["last_layer_global.weight"]).T
     return params
+
+
+# --- inverse direction: JAX pytree -> reference-layout torch state dict ---
+
+def _inv_linear(tree: Mapping[str, Any], prefix: str, out: Dict[str, Array]):
+    out[f"{prefix}.weight"] = _t(tree["kernel"]).T
+    if "bias" in tree:
+        out[f"{prefix}.bias"] = _t(tree["bias"])
+
+
+def _inv_layernorm(tree: Mapping[str, Any], prefix: str, out: Dict[str, Array]):
+    out[f"{prefix}.weight"] = _t(tree["scale"])
+    out[f"{prefix}.bias"] = _t(tree["bias"])
+
+
+def _inv_patch_embed(tree: Mapping[str, Any], out: Dict[str, Array]):
+    k = _t(tree["proj"]["kernel"])  # (p, p, C, D) -> (D, C, p, p)
+    out["patch_embed.proj.weight"] = k.transpose(3, 2, 0, 1)
+    out["patch_embed.proj.bias"] = _t(tree["proj"]["bias"])
+
+
+def export_deit_state_dict(params: Mapping[str, Any], depth: int) -> Dict[str, Array]:
+    """DeiTBackbone/DistilledDeiT params tree -> timm-layout state dict.
+
+    Exact inverse of ``convert_deit_state_dict`` (same transposition
+    conventions, reversed) so trained JAX checkpoints can be consumed by
+    the reference's torch tooling (``strict=False`` loads —
+    ref: main_visualize.py:289-291)."""
+    sd: Dict[str, Array] = {
+        "cls_token": _t(params["cls_token"]),
+        "pos_embed": _t(params["pos_embed"]),
+    }
+    _inv_patch_embed(params["patch_embed"], sd)
+    _inv_layernorm(params["norm"], "norm", sd)
+    if "dist_token" in params:
+        sd["dist_token"] = _t(params["dist_token"])
+    for head in ("head", "head_dist"):
+        if head in params:
+            _inv_linear(params[head], head, sd)
+    for i in range(depth):
+        blk = params[f"blocks_{i}"]
+        p = f"blocks.{i}"
+        _inv_layernorm(blk["norm1"], f"{p}.norm1", sd)
+        _inv_layernorm(blk["norm2"], f"{p}.norm2", sd)
+        _inv_linear(blk["attn"]["qkv"], f"{p}.attn.qkv", sd)
+        _inv_linear(blk["attn"]["proj"], f"{p}.attn.proj", sd)
+        _inv_linear(blk["mlp"]["fc1"], f"{p}.mlp.fc1", sd)
+        _inv_linear(blk["mlp"]["fc2"], f"{p}.mlp.fc2", sd)
+    return sd
+
+
+def export_cait_state_dict(
+    params: Mapping[str, Any], depth: int, depth_token_only: int = 2
+) -> Dict[str, Array]:
+    """CaiTBackbone params tree -> timm-layout state dict (inverse of
+    ``convert_cait_state_dict``)."""
+    sd: Dict[str, Array] = {
+        "cls_token": _t(params["cls_token"]),
+        "pos_embed": _t(params["pos_embed"]),
+    }
+    _inv_patch_embed(params["patch_embed"], sd)
+    _inv_layernorm(params["norm"], "norm", sd)
+    for i in range(depth):
+        blk = params[f"blocks_{i}"]
+        p = f"blocks.{i}"
+        sd[f"{p}.gamma_1"] = _t(blk["gamma_1"])
+        sd[f"{p}.gamma_2"] = _t(blk["gamma_2"])
+        _inv_layernorm(blk["norm1"], f"{p}.norm1", sd)
+        _inv_layernorm(blk["norm2"], f"{p}.norm2", sd)
+        for lin in ("qkv", "proj", "proj_l", "proj_w"):
+            _inv_linear(blk["attn"][lin], f"{p}.attn.{lin}", sd)
+        _inv_linear(blk["mlp"]["fc1"], f"{p}.mlp.fc1", sd)
+        _inv_linear(blk["mlp"]["fc2"], f"{p}.mlp.fc2", sd)
+    for i in range(depth_token_only):
+        blk = params[f"blocks_token_only_{i}"]
+        p = f"blocks_token_only.{i}"
+        sd[f"{p}.gamma_1"] = _t(blk["gamma_1"])
+        sd[f"{p}.gamma_2"] = _t(blk["gamma_2"])
+        _inv_layernorm(blk["norm1"], f"{p}.norm1", sd)
+        _inv_layernorm(blk["norm2"], f"{p}.norm2", sd)
+        for lin in ("q", "k", "v", "proj"):
+            _inv_linear(blk["attn"][lin], f"{p}.attn.{lin}", sd)
+        _inv_linear(blk["mlp"]["fc1"], f"{p}.mlp.fc1", sd)
+        _inv_linear(blk["mlp"]["fc2"], f"{p}.mlp.fc2", sd)
+    return sd
+
+
+def export_ppnet_state_dict(
+    params: Mapping[str, Any],
+    arch: str,
+    depth: int,
+    depth_token_only: int = 2,
+) -> Dict[str, Array]:
+    """PPNet params tree -> reference-layout checkpoint state dict
+    (inverse of ``convert_ppnet_state_dict``).
+
+    A trained TPU checkpoint exported this way loads into the reference's
+    ``construct_PPNet`` model with ``load_state_dict`` (conv add-on layers
+    are re-emitted at the reference's Sequential indices 0, 2, 4...
+    matching both the 'regular' and 'bottleneck' stacks —
+    ref: protopformer.py:90-113)."""
+    feats = (
+        export_deit_state_dict(params["features"], depth)
+        if arch == "deit"
+        else export_cait_state_dict(
+            params["features"], depth, depth_token_only
+        )
+    )
+    sd: Dict[str, Array] = {f"features.{k}": v for k, v in feats.items()}
+    add_on = params["add_on_layers"]
+    for j in range(len(add_on)):
+        layer = add_on[f"layers_{j}"]
+        w = _t(layer["kernel"]).T[:, :, None, None]  # (out, in, 1, 1)
+        sd[f"add_on_layers.{2 * j}.weight"] = w
+        sd[f"add_on_layers.{2 * j}.bias"] = _t(layer["bias"])
+    sd["prototype_vectors"] = _t(params["prototype_vectors"])[:, :, None, None]
+    sd["last_layer.weight"] = _t(params["last_layer_w"]).T
+    if "prototype_vectors_global" in params:
+        sd["prototype_vectors_global"] = _t(
+            params["prototype_vectors_global"]
+        )[:, :, None, None]
+        sd["last_layer_global.weight"] = _t(
+            params["last_layer_global_w"]
+        ).T
+    return sd
+
+
+def save_torch_checkpoint(path: str, sd: Mapping[str, Array]) -> None:
+    """Serialize a state dict as a reference-loadable ``.pth``
+    (wrapped in the ``{"model": ...}`` convention — ref: main.py:439-441)."""
+    import torch
+
+    torch.save(
+        {"model": {k: torch.from_numpy(np.array(v, np.float32, copy=True))
+                   for k, v in sd.items()}},
+        path,
+    )
