@@ -384,3 +384,76 @@ def test_ppnet_gradient_parity(batch):
         )
         checked += 1
     assert checked >= 30  # every param leaf compared
+
+
+def test_ppnet_over_cait_gradient_parity(batch):
+    """CaiT-family backward parity: CE-loss gradients through the
+    talking-heads mixing, LayerScale gammas, policy-masked class attention,
+    and the dual-branch head match torch autograd on every param leaf
+    (complement of test_ppnet_gradient_parity for the second backbone)."""
+    from tests.torch_reference import RefCait
+
+    torch.manual_seed(17)
+    ref_bk = RefCait(img_size=32, patch_size=8, dim=24, depth=3, heads=2,
+                     depth_token_only=2)
+    ref = RefPPNet(
+        ref_bk, num_prototypes=40, proto_dim=16, num_classes=4,
+        reserve_layer_nums=((1, 9),), global_per_class=3,
+        discard_ratio=0.0,
+    )
+    sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+    params = convert_ppnet_state_dict(
+        sd, arch="cait", depth=3, depth_token_only=2
+    )
+    bk = BackboneConfig(
+        name="tiny-cait", arch="cait", img_size=32, patch_size=8,
+        embed_dim=24, depth=3, num_heads=2, depth_token_only=2,
+        drop_path_rate=0.0, rollout_discard_ratio=0.0,
+    )
+    pp = PPNetConfig(
+        prototype_shape=(40, 16, 1, 1), num_classes=4,
+        reserve_layers=(1,), reserve_token_nums=(9,),
+        use_global=True, global_proto_per_class=3,
+    )
+    model = construct_ppnet(bk, pp)
+
+    labels = np.asarray([1, 3])
+    logits_t, *_ = ref(torch.from_numpy(batch))
+    loss_t = torch.nn.functional.cross_entropy(
+        logits_t, torch.from_numpy(labels).long()
+    )
+    loss_t.backward()
+    grad_sd = {
+        k: p.grad.detach().numpy()
+        for k, p in ref.named_parameters() if p.grad is not None
+    }
+    for k, v in sd.items():
+        grad_sd.setdefault(k, np.zeros_like(v))
+    grads_ref = convert_ppnet_state_dict(
+        grad_sd, arch="cait", depth=3, depth_token_only=2
+    )
+
+    def loss_fn(p):
+        out = model.apply(
+            {"params": p}, jnp.asarray(batch.transpose(0, 2, 3, 1)),
+            train=True,
+            rngs={"droppath": jax.random.key(0), "dropout": jax.random.key(1)},
+        )
+        onehot = jax.nn.one_hot(jnp.asarray(labels), 4)
+        return -jnp.mean(
+            jnp.sum(jax.nn.log_softmax(out.logits) * onehot, axis=-1)
+        )
+
+    loss_j, grads = jax.value_and_grad(loss_fn)(params)
+    np.testing.assert_allclose(
+        float(loss_j), float(loss_t.detach()), atol=1e-5
+    )
+    flat_ref = jax.tree_util.tree_leaves_with_path(grads_ref)
+    flat_got = dict(jax.tree_util.tree_leaves_with_path(grads))
+    for path, g_ref in flat_ref:
+        g_got = flat_got[path]
+        scale = max(np.abs(np.asarray(g_ref)).max(), 1e-8)
+        np.testing.assert_allclose(
+            np.asarray(g_got), np.asarray(g_ref), atol=2e-4 * scale + 1e-7,
+            err_msg=str(path),
+        )
