@@ -30,25 +30,29 @@ def unnormalize_images(x: jax.Array) -> jax.Array:
 
 
 def fold_normalization_into_patch_embed(
-    params, mean=IMAGENET_MEAN, std=IMAGENET_STD
+    params, mean=IMAGENET_MEAN, std=IMAGENET_STD, input_scale: float = 1.0
 ):
     """Fold the per-channel input normalization into the patch-embed conv.
 
     The patch embedding is linear in the image, so for kernel W (p, p, 3, D)
     and bias b:
 
-        conv((x - m) / s; W) + b  ==  conv(x; W / s) + (b - sum_hwc W m / s)
+        conv((a*x - m) / s; W) + b  ==  conv(x; W a/s) + (b - sum_hwc W m/s)
 
     — the normalize pass (a full fp32 read+write of the batch) disappears
-    from the serving program and the model consumes RAW [0,1] RGB directly.
-    Exact in fp32; in bf16 compute the folded kernel rounds once where the
-    unfolded path rounded the normalized image once (equivalent-magnitude
-    quantization, covered by the speed-mode selection contract test).
+    from the serving program and the model consumes RAW pixels directly.
+    With ``input_scale=1/255`` the serving input can be uint8 RGB (4x less
+    input traffic than fp32 [0,1]). Exact in fp32; in bf16 compute the
+    folded kernel rounds once where the unfolded path rounded the
+    normalized image once (equivalent-magnitude quantization, covered by
+    the speed-mode selection contract test).
 
     Args:
       params: the model's ``params`` pytree (any PPNet/BaseNet/backbone tree
         containing a ``patch_embed/proj`` Conv with fp32 kernel+bias).
       mean / std: per-channel constants (ImageNet by default).
+      input_scale: multiplier mapping the raw input to [0,1] (1.0 for float
+        [0,1] inputs, 1/255 for uint8).
 
     Returns:
       A new params pytree with the folded kernel/bias. The original tree is
@@ -74,7 +78,9 @@ def fold_normalization_into_patch_embed(
                     "hwcd,c->d", kernel, mean / std,
                     precision=jax.lax.Precision.HIGHEST,
                 )
-                proj["kernel"] = kernel / std[None, None, :, None]
+                proj["kernel"] = (
+                    kernel * (input_scale / std)[None, None, :, None]
+                )
                 proj["bias"] = jnp.asarray(proj["bias"], jnp.float32) - shift
                 out[k] = {**v, "proj": proj}
             else:

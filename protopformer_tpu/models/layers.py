@@ -24,7 +24,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from protopformer_tpu.ops.activations import gelu_exact
+from protopformer_tpu.ops.activations import gelu_exact, gelu_speed
 from protopformer_tpu.ops.masking import (
     class_attn_softmax_with_policy,
     eps_softmax,
@@ -118,9 +118,12 @@ class Mlp(nn.Module):
     def __call__(self, x: jax.Array, deterministic: bool = True) -> jax.Array:
         prec = _matmul_precision(self.dtype)
         x = _dense(self.quant, self.hidden_dim, self.dtype, prec, "fc1")(x)
-        # exact-erf semantics via the fused-friendly A&S erf
-        # (ops/activations.py — XLA's erf lowering costs ~1.3 ms/model here)
-        x = gelu_exact(x)
+        # fp32 parity: exact-erf semantics via the fused-friendly A&S erf;
+        # bf16 speed: tanh-GELU — the erf rational's ~40 fp32 elementwise
+        # ops over the 4C hidden are the hottest fusion in the serving
+        # program, and the tanh form's ~1e-3 deviation sits inside bf16
+        # rounding (ops/activations.py, speed-mode contract test)
+        x = gelu_exact(x) if self.dtype == jnp.float32 else gelu_speed(x)
         x = nn.Dropout(self.drop_rate)(x, deterministic=deterministic)
         x = _dense(self.quant, self.out_dim, self.dtype, prec, "fc2")(x)
         x = nn.Dropout(self.drop_rate)(x, deterministic=deterministic)

@@ -242,15 +242,19 @@ class PPNet(nn.Module):
     def _branch_logits(self, cls_tokens, img_tokens):
         cfg = self.config
         hi = jax.lax.Precision.HIGHEST
+        # serving speed mode (bf16 compute): the prototype contraction runs
+        # on the bf16 MXU path with fp32 accumulation; fp32 mode keeps the
+        # HIGHEST-precision dot the 1e-4 map-parity budget requires
+        speed = self.compute_dtype != jnp.float32
         local_acts, distances, act_maps = prototype_activations(
             img_tokens, self.prototype_vectors,
-            cfg.prototype_activation_function, cfg.epsilon,
+            cfg.prototype_activation_function, cfg.epsilon, speed=speed,
         )
         logits_local = jnp.matmul(local_acts, self.last_layer_w, precision=hi)
         if cfg.use_global:
             global_acts, _, _ = prototype_activations(
                 cls_tokens, self.prototype_vectors_global,
-                cfg.prototype_activation_function, cfg.epsilon,
+                cfg.prototype_activation_function, cfg.epsilon, speed=speed,
             )
             global_acts = global_acts.reshape(global_acts.shape[0], -1)
             logits_global = jnp.matmul(

@@ -49,3 +49,19 @@ def _gelu_exact_jvp(primals, tangents):
     pdf = jnp.exp(-0.5 * xf * xf) * 0.3989422804014327  # 1/sqrt(2*pi)
     grad = (cdf + xf * pdf).astype(x.dtype)
     return gelu_exact(x), grad * dx
+
+
+def gelu_speed(x: jax.Array) -> jax.Array:
+    """tanh-approximation GELU for the bf16 SPEED path.
+
+    The exact-erf rational costs ~40 fp32 elementwise ops (incl. divide +
+    exp) over the (B, N, 4C) hidden — the hottest fusion in the whole
+    serving program (docs/DESIGN.md round-2 profile). The tanh form is the
+    cheapest lowering measured (2.8 vs 3.8 ms per isolated 12-block stack)
+    and its deviation from exact GELU (max ~1e-3 absolute) sits inside
+    bf16 rounding noise — pinned by the speed-mode selection contract
+    test. fp32 parity mode always uses ``gelu_exact``.
+    """
+    xf = x.astype(jnp.float32)
+    inner = 0.7978845608028654 * (xf + 0.044715 * xf * xf * xf)
+    return (xf * 0.5 * (1.0 + jnp.tanh(inner))).astype(x.dtype)

@@ -173,3 +173,21 @@ def test_fold_normalization_matches_on_device_normalize(images, params):
         np.asarray(got.cls_token_attn), np.asarray(ref.cls_token_attn),
         rtol=0, atol=1e-5,
     )
+
+
+def test_fold_normalization_uint8_input(images, params):
+    """input_scale=1/255 folds the uint8->[0,1] scaling in as well — the
+    serving bench's contract (raw uint8 RGB in, normalized model out)."""
+    model = construct_ppnet(BackboneConfig(**TINY), TINY_PPNET)
+    u8 = np.asarray(images * 255.0).astype(np.uint8)
+    folded = fold_normalization_into_patch_embed(
+        params, input_scale=1.0 / 255.0
+    )
+    ref = model.apply(
+        {"params": params},
+        normalize_images(jnp.asarray(u8, jnp.float32) / 255.0),
+    )
+    got = model.apply({"params": folded}, jnp.asarray(u8))
+    np.testing.assert_allclose(
+        np.asarray(got.logits), np.asarray(ref.logits), rtol=0, atol=1e-4
+    )
