@@ -324,3 +324,25 @@ def test_lazy_rollout_negative_maps(rng):
             np.asarray(got), np.asarray(want), atol=1e-5, rtol=1e-5,
             err_msg=f"ratio={ratio}",
         )
+
+
+def test_gelu_speed_deviation_bound(rng=np.random.default_rng(12)):
+    """tanh-GELU (the bf16 speed-mode activation) stays within ~1e-3 of
+    exact-erf GELU — under bf16 resolution (~4e-3 relative), which is why
+    speed mode may use it (layers.Mlp; fp32 parity keeps gelu_exact)."""
+    from protopformer_tpu.ops.activations import gelu_exact, gelu_speed
+
+    x = jnp.asarray(
+        np.concatenate([
+            rng.normal(0, 3, 20000),
+            np.linspace(-8, 8, 1000),
+        ]).astype(np.float32)
+    )
+    exact = np.asarray(gelu_exact(x))
+    fast = np.asarray(gelu_speed(x))
+    assert np.abs(fast - exact).max() < 2.5e-3
+    # and in bf16 the two are mostly indistinguishable
+    eb = np.asarray(gelu_exact(x.astype(jnp.bfloat16)).astype(jnp.float32))
+    fb = np.asarray(gelu_speed(x.astype(jnp.bfloat16)).astype(jnp.float32))
+    denom = np.maximum(np.abs(eb), 1e-2)
+    assert np.median(np.abs(fb - eb) / denom) < 4e-3
