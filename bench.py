@@ -20,6 +20,9 @@ A100_BASELINE_IMG_PER_SEC = 5000.0
 
 
 def main(_retries: int = 2):
+    from protopformer_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     from protopformer_tpu.core.config import PPNetConfig, backbone_preset
     from protopformer_tpu.models import construct_ppnet
 

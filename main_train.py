@@ -221,6 +221,9 @@ def config_from_args(args) -> "ExperimentConfig":
 
 
 def main(args) -> dict:
+    from protopformer_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     import jax
     import jax.numpy as jnp
 
