@@ -1,0 +1,167 @@
+"""Serving engine: fixed-shape jitted inference over arbitrary batches.
+
+XLA compiles one program per input shape, so production serving runs at a
+FIXED batch size and pads the tail — the same padded+masked discipline the
+sharded eval loop uses (train/loop.py). This module packages the measured
+serving recipe behind one object:
+
+  * normalization (and the uint8 /255) FOLDED into the patch-embed conv
+    (data/preprocess.py) — the engine consumes raw uint8 RGB;
+  * bf16 speed mode at the measured batch sweet spot (B=160 on v5e-1:
+    20.9k img/s/chip, docs/DESIGN.md);
+  * requests of ANY size: chunked to the compiled batch, tail padded and
+    sliced off; one compile total (plus the persistent compilation cache,
+    utils/cache.py).
+
+The reference has no serving surface (research repo); this is the
+TPU-framework-native equivalent of its eval loop driven as a service.
+
+Throughput expectations: the jitted forward itself sustains the bench.py
+number (20.9k img/s/chip on v5e-1 at B=160). End-to-end engine throughput
+is bounded by host->device input bandwidth: 24 MB per 160-image uint8
+chunk needs ~16 GB/s PCIe on a real TPU host to stay compute-bound. On
+the remote-tunnel dev environment the tunnel's network H2D (0.05-1.2 GB/s
+depending on load) dominates instead — measured 340 img/s there; that is
+the environment, not the engine (the same program measures 20.9k with
+device-resident inputs).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from protopformer_tpu.core.config import BackboneConfig, PPNetConfig
+from protopformer_tpu.data.preprocess import (
+    fold_normalization_into_patch_embed,
+)
+from protopformer_tpu.models import construct_ppnet
+from protopformer_tpu.utils.cache import enable_compilation_cache
+
+
+class ServingResult(NamedTuple):
+    logits: np.ndarray  # (N, num_classes) fp32
+    top_class: np.ndarray  # (N,) int32 argmax
+    cls_token_attn: Optional[np.ndarray]  # (N, P) rollout foreground scores
+
+
+class ServingEngine:
+    """Fixed-batch jitted PPNet inference over raw uint8 images.
+
+    Args:
+      backbone / ppnet: model configuration (presets in core/config.py).
+      params: trained params pytree (fp32; e.g. restored from Orbax or
+        converted from a reference ``.pth``). Normalization folding is
+        applied internally — pass the plain trained params.
+      batch_size: compiled batch (default 160, the measured v5e sweet spot).
+      compute_dtype: jnp.bfloat16 (speed, default) or jnp.float32 (parity).
+      with_attn: also return the CLS rollout foreground scores per image
+        (the interpretability signal the reference tooling consumes).
+    """
+
+    def __init__(
+        self,
+        backbone: BackboneConfig,
+        ppnet: PPNetConfig,
+        params,
+        batch_size: int = 160,
+        compute_dtype=jnp.bfloat16,
+        with_attn: bool = False,
+    ):
+        enable_compilation_cache()
+        self.batch_size = batch_size
+        self.with_attn = with_attn
+        self._model = construct_ppnet(
+            backbone, ppnet, compute_dtype=compute_dtype
+        )
+        self._params = fold_normalization_into_patch_embed(
+            params, input_scale=1.0 / 255.0
+        )
+        img = backbone.img_size
+
+        @jax.jit
+        def _forward(p, images, token):
+            out = self._model.apply({"params": p}, images, train=False)
+            ret = {"logits": out.logits.astype(jnp.float32)}
+            if with_attn:
+                ret["cls_token_attn"] = out.cls_token_attn
+            # ordering token: chaining a scalar through successive chunk
+            # dispatches makes the backend STREAM them — independent
+            # dispatches serialize at one round trip each on remote-tunnel
+            # backends (measured 0.5 s/chunk vs ~8 ms chained)
+            ret["token"] = token + ret["logits"].sum() * jnp.float32(1e-30)
+            return ret
+
+        self._forward = _forward
+        self._img_size = img
+
+    def warmup(self) -> None:
+        """Compile (or deserialize from the persistent cache) eagerly.
+
+        Syncs with a VALUE fetch: on remote-tunnel backends
+        ``block_until_ready`` returns before the server-side compile has
+        actually happened (measured — the first inference call then pays
+        the full compile)."""
+        dummy = np.zeros(
+            (self.batch_size, self._img_size, self._img_size, 3), np.uint8
+        )
+        np.asarray(
+            self._forward(
+                self._params, jnp.asarray(dummy), jnp.float32(0)
+            )["logits"][0, 0]
+        )
+
+    def __call__(self, images: np.ndarray) -> ServingResult:
+        """Run inference on (N, H, W, 3) uint8 RGB, any N >= 1.
+
+        N is chunked to the compiled batch size; the final partial chunk is
+        zero-padded and the padding rows discarded (exactly one compiled
+        program regardless of N).
+        """
+        images = np.asarray(images)
+        if images.dtype != np.uint8:
+            raise ValueError(
+                f"ServingEngine consumes raw uint8 RGB, got {images.dtype}"
+            )
+        n = images.shape[0]
+        # stage ALL chunks to the device first (async device_put), then
+        # dispatch all forwards: interleaving H2D with compute dispatches
+        # serializes the pipeline on remote-tunnel backends (measured
+        # ~0.5 s/chunk vs fully-pipelined execution)
+        staged = []
+        for start in range(0, n, self.batch_size):
+            chunk = images[start:start + self.batch_size]
+            real = chunk.shape[0]
+            if real < self.batch_size:
+                chunk = np.concatenate(
+                    [
+                        chunk,
+                        np.zeros(
+                            (self.batch_size - real,) + chunk.shape[1:],
+                            np.uint8,
+                        ),
+                    ]
+                )
+            staged.append((jax.device_put(chunk), real))
+        logits, attns = [], []
+        token = jnp.float32(0)
+        for dev_chunk, real in staged:
+            out = self._forward(self._params, dev_chunk, token)
+            token = out["token"]
+            logits.append(out["logits"][:real])
+            if self.with_attn:
+                attns.append(out["cls_token_attn"][:real])
+        # concatenate ON DEVICE and fetch once — each host fetch is a full
+        # round trip (~30-500 ms through a remote tunnel)
+        logits = np.asarray(jnp.concatenate(logits))
+        attns = (
+            [np.asarray(jnp.concatenate(attns))] if attns else []
+        )
+        return ServingResult(
+            logits=logits,
+            top_class=np.argmax(logits, axis=-1).astype(np.int32),
+            cls_token_attn=np.concatenate(attns) if attns else None,
+        )

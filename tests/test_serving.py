@@ -1,0 +1,72 @@
+"""ServingEngine tests: fixed-batch padding discipline + numeric parity
+with the plain model forward."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from protopformer_tpu.core.config import BackboneConfig, PPNetConfig
+from protopformer_tpu.data.preprocess import normalize_images
+from protopformer_tpu.models import construct_ppnet
+from protopformer_tpu.serving import ServingEngine
+
+BK = BackboneConfig(
+    name="tiny-test", arch="deit", img_size=32, patch_size=8,
+    embed_dim=24, depth=3, num_heads=2, drop_path_rate=0.1,
+)
+PP = PPNetConfig(
+    prototype_shape=(40, 16, 1, 1), num_classes=4,
+    reserve_layers=(2,), reserve_token_nums=(9,),
+    use_global=True, global_proto_per_class=3,
+)
+
+
+def test_serving_engine_matches_model_and_handles_partial_batches():
+    model = construct_ppnet(BK, PP)
+    params = model.init(
+        jax.random.key(0), jnp.zeros((1, 32, 32, 3))
+    )["params"]
+    rng = np.random.default_rng(4)
+    # 11 images with batch_size=4: three chunks, last one padded by 1
+    imgs = (rng.uniform(size=(11, 32, 32, 3)) * 255).astype(np.uint8)
+
+    engine = ServingEngine(
+        BK, PP, params, batch_size=4,
+        compute_dtype=jnp.float32, with_attn=True,
+    )
+    engine.warmup()
+    res = engine(imgs)
+    assert res.logits.shape == (11, 4)
+    assert res.top_class.shape == (11,)
+    assert res.cls_token_attn.shape == (11, 16)
+
+    # reference: plain model on normalized fp32 images
+    want = model.apply(
+        {"params": params},
+        normalize_images(jnp.asarray(imgs, jnp.float32) / 255.0),
+    )
+    np.testing.assert_allclose(
+        res.logits, np.asarray(want.logits), rtol=0, atol=1e-4
+    )
+    np.testing.assert_allclose(
+        res.cls_token_attn, np.asarray(want.cls_token_attn),
+        rtol=0, atol=1e-5,
+    )
+    np.testing.assert_array_equal(
+        res.top_class, np.argmax(np.asarray(want.logits), -1)
+    )
+
+
+def test_serving_engine_rejects_float_input():
+    model = construct_ppnet(BK, PP)
+    params = model.init(
+        jax.random.key(0), jnp.zeros((1, 32, 32, 3))
+    )["params"]
+    engine = ServingEngine(BK, PP, params, batch_size=2,
+                           compute_dtype=jnp.float32)
+    try:
+        engine(np.zeros((2, 32, 32, 3), np.float32))
+    except ValueError as e:
+        assert "uint8" in str(e)
+    else:
+        raise AssertionError("float input must be rejected")
