@@ -6,3 +6,4 @@ from protopformer_tpu.utils.profiling import (
     annotate,
     device_memory_stats,
 )
+from protopformer_tpu.utils.cache import enable_compilation_cache
