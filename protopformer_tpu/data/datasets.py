@@ -18,7 +18,7 @@ from __future__ import annotations
 import os
 import json
 from dataclasses import dataclass
-from typing import List, Optional, Tuple
+from typing import List, Optional
 
 import numpy as np
 

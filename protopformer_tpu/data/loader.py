@@ -25,7 +25,6 @@ from concurrent.futures import ThreadPoolExecutor
 from typing import Callable, Dict, Iterator, Optional
 
 import numpy as np
-import jax
 
 from protopformer_tpu.data.datasets import DatasetIndex
 

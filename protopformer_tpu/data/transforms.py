@@ -22,7 +22,6 @@ parity surface.
 
 from __future__ import annotations
 
-import random
 from typing import Callable, Optional, Tuple
 
 import numpy as np

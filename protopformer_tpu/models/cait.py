@@ -16,7 +16,7 @@ masks the class-attention softmax from block ``i`` on.
 
 from __future__ import annotations
 
-from typing import List, Optional, Sequence, Tuple
+from typing import Sequence, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -22,7 +22,7 @@ fp32 regardless of the backbone compute dtype.
 
 from __future__ import annotations
 
-from typing import NamedTuple, Optional, Tuple
+from typing import NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp

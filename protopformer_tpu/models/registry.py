@@ -9,7 +9,7 @@ typed presets; the same names resolve to the same architectures.
 
 from __future__ import annotations
 
-from typing import Dict, Union
+from typing import Union
 
 import jax.numpy as jnp
 
