@@ -194,3 +194,91 @@ def test_cub_index_and_parts(tmp_path):
     assert len(parts.id_to_part_loc[1]) == 2  # only visible parts
     assert in_bbox(10, 10, parts.id_to_bbox[1])
     assert not in_bbox(0, 0, parts.id_to_bbox[1])
+
+
+def test_stanford_cars_index(tmp_path):
+    from scipy.io import savemat
+
+    from protopformer_tpu.data.datasets import build_stanford_cars_index
+
+    (tmp_path / "devkit").mkdir()
+    (tmp_path / "cars_train").mkdir()
+
+    def anno(fname, cls):
+        return (
+            np.array([[1]]), np.array([[2]]), np.array([[30]]),
+            np.array([[40]]), np.array([[cls]]), np.array([fname]),
+        )
+
+    dt = [("bbox_x1", "O"), ("bbox_y1", "O"), ("bbox_x2", "O"),
+          ("bbox_y2", "O"), ("class", "O"), ("fname", "O")]
+    annos = np.array([anno("car_a.jpg", 3), anno("car_b.jpg", 196)], dtype=dt)
+    savemat(str(tmp_path / "devkit" / "cars_train_annos.mat"),
+            {"annotations": annos.reshape(1, -1)})
+    idx = build_stanford_cars_index(str(tmp_path), train=True)
+    assert len(idx) == 2 and idx.num_classes == 196
+    assert idx.labels.tolist() == [2, 195]
+    assert idx.paths[0].endswith("cars_train/car_a.jpg")
+
+
+def test_stanford_dogs_index(tmp_path):
+    from scipy.io import savemat
+
+    from protopformer_tpu.data.datasets import build_stanford_dogs_index
+
+    files = np.empty((2, 1), dtype=object)
+    files[0, 0] = np.array(["n02085620-Chihuahua/img1.jpg"])
+    files[1, 0] = np.array(["n02085936-Maltese_dog/img2.jpg"])
+    savemat(str(tmp_path / "train_list.mat"),
+            {"file_list": files, "labels": np.array([[1], [120]])})
+    idx = build_stanford_dogs_index(str(tmp_path), train=True)
+    assert len(idx) == 2 and idx.num_classes == 120
+    assert idx.labels.tolist() == [0, 119]
+    assert idx.paths[1].endswith("Images/n02085936-Maltese_dog/img2.jpg")
+
+
+def test_aircraft_index(tmp_path):
+    from protopformer_tpu.data.datasets import build_aircraft_index
+
+    (tmp_path / "variants.txt").write_text("707-320\nA310\n")
+    (tmp_path / "images_variant_trainval.txt").write_text(
+        "0034309 707-320\n0034958 A310\n"
+    )
+    idx = build_aircraft_index(str(tmp_path), train=True)
+    assert len(idx) == 2 and idx.num_classes == 2
+    assert idx.labels.tolist() == [0, 1]
+    assert idx.paths[0].endswith("images/0034309.jpg")
+
+
+def test_inat_index(tmp_path):
+    import json as _json
+
+    from protopformer_tpu.data.datasets import build_inat_index
+
+    (tmp_path / "train2019.json").write_text(_json.dumps({
+        "images": [{"id": 1, "file_name": "a.jpg"},
+                   {"id": 2, "file_name": "b.jpg"}],
+        "annotations": [{"image_id": 1, "category_id": 10},
+                        {"image_id": 2, "category_id": 20}],
+    }))
+    (tmp_path / "categories2019.json").write_text(_json.dumps([
+        {"id": 10, "name": "sp_a"}, {"id": 20, "name": "sp_b"},
+    ]))
+    idx = build_inat_index(str(tmp_path), train=True, year=2019)
+    assert len(idx) == 2 and idx.num_classes == 2
+    assert sorted(idx.labels.tolist()) == [0, 1]
+
+
+def test_cub_cropped_index(tmp_path):
+    from protopformer_tpu.data.datasets import build_cub_cropped_index
+
+    for sub, n in (("train_cropped_augmented", 3), ("test_cropped", 2)):
+        for cname in ("001.A", "002.B"):
+            d = tmp_path / sub / cname
+            d.mkdir(parents=True)
+            for i in range(n):
+                Image.new("RGB", (8, 8)).save(d / f"{i}.jpg")
+    train = build_cub_cropped_index(str(tmp_path), train=True)
+    test = build_cub_cropped_index(str(tmp_path), train=False)
+    assert len(train) == 6 and len(test) == 4
+    assert train.num_classes == 2
