@@ -21,6 +21,12 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_num_cpu_devices", 8)
 
+# persistent compilation cache: the suite is compile-dominated (~9 min
+# cold); repeat runs deserialize instead (utils/cache.py)
+from protopformer_tpu.utils.cache import enable_compilation_cache  # noqa: E402
+
+enable_compilation_cache()
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
