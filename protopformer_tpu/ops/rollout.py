@@ -88,14 +88,15 @@ def kth_largest(
     else:
         hi = jnp.max(bits, axis=red)
 
-    def body(_, carry):
-        lo, hi = carry
+    # int32 range of non-negative floats is < 2^31; 31 iterations suffice.
+    # Python-unrolled on purpose: a fori_loop's per-iteration while-op
+    # bookkeeping costs as much as the count pass itself (~6.5us each at
+    # B=160 map shape — measured, docs/DESIGN.md), and XLA cannot hoist it;
+    # unrolling is straight-line HLO and cut 0.96 -> 0.74 ms/map on v5e.
+    for _ in range(31):
         mid = lo + (hi - lo + 1) // 2  # round up so lo strictly advances
         ok = feasible(mid) >= keep
-        return jnp.where(ok, mid, lo), jnp.where(ok, hi, mid - 1)
-
-    # int32 range of non-negative floats is < 2^31; 31 iterations suffice
-    lo, hi = jax.lax.fori_loop(0, 31, body, (lo, hi))
+        lo, hi = jnp.where(ok, mid, lo), jnp.where(ok, hi, mid - 1)
     return jax.lax.bitcast_convert_type(lo, jnp.float32)
 
 
@@ -126,13 +127,11 @@ def kth_largest_prefix16(
     else:
         hi = jnp.max(bits, axis=red)
 
-    def body(_, carry):
-        lo, hi = carry
+    # unrolled: see kth_largest — loop bookkeeping ~doubles the pass cost
+    for _ in range(15):
         mid = lo + (hi - lo + 1) // 2
         ok = feasible(mid) >= keep
-        return jnp.where(ok, mid, lo), jnp.where(ok, hi, mid - 1)
-
-    lo, hi = jax.lax.fori_loop(0, 15, body, (lo, hi))
+        lo, hi = jnp.where(ok, mid, lo), jnp.where(ok, hi, mid - 1)
     return jax.lax.bitcast_convert_type(lo << 16, jnp.float32)
 
 
@@ -172,13 +171,14 @@ def kth_largest_bf16(
     else:
         hi = jnp.max(bits, axis=red)
 
-    def body(_, carry):
-        lo, hi = carry
+    # unrolled: see kth_largest — loop bookkeeping ~doubles the pass cost
+    for _ in range(15):
         mid = lo + (hi - lo + jnp.int16(1)) // jnp.int16(2)
         ok = feasible(mid) >= keep
-        return jnp.where(ok, mid, lo), jnp.where(ok, hi, mid - jnp.int16(1))
-
-    lo, hi = jax.lax.fori_loop(0, 15, body, (lo, hi))
+        lo, hi = (
+            jnp.where(ok, mid, lo),
+            jnp.where(ok, hi, mid - jnp.int16(1)),
+        )
     return jax.lax.bitcast_convert_type(lo, jnp.bfloat16)
 
 
