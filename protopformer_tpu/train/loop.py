@@ -7,8 +7,15 @@ bodies. Differences by design:
   * the per-batch body is ONE jitted program (train/steps.py); the host loop
     only feeds batches and reads scalar metrics;
   * the PPC epoch gate (epoch >= ppc_start) is a traced 0/1 scalar;
+  * metric fetches are BATCHED every ``sync_every`` steps instead of per
+    step: the reference syncs every iteration (engine_proto.py:79
+    cuda.synchronize + per-iter scalar reads), which serializes host and
+    device — on TPU a per-step ``float(metrics['loss'])`` is a full host
+    round trip that defeats XLA's async dispatch (measured: the round-2
+    loop lost ~30 ms/step through the remote tunnel to exactly this);
   * non-finite loss aborts like the reference (engine_proto.py:68-70) but
-    raises instead of sys.exit so callers can handle it;
+    raises instead of sys.exit so callers can handle it — within
+    ``sync_every`` steps of the bad step (contract-tested);
   * LR is recomputed host-side per epoch purely for logging — the schedule
     itself lives inside optax.
 """
@@ -18,6 +25,7 @@ from __future__ import annotations
 import math
 from typing import Dict
 
+import jax
 import jax.numpy as jnp
 
 from protopformer_tpu.core.config import ExperimentConfig
@@ -39,10 +47,14 @@ def train_one_epoch(
     writer=None,
     logger=None,
     global_iter: int = 0,
+    sync_every: int = 20,
 ) -> tuple:
     """Run one training epoch; returns (state, stats dict, next_global_iter).
 
-    (ref: tools/engine_proto.py:24-113)"""
+    ``sync_every``: steps between host metric fetches (each fetch is one
+    device round trip covering the whole window; dispatch stays async in
+    between). Non-finite loss still aborts, at most ``sync_every - 1``
+    steps late. (ref: tools/engine_proto.py:24-113)"""
     metric_logger = MetricLogger(logger=logger)
     loader.set_epoch(epoch)
     ppc_gate = jnp.float32(
@@ -56,22 +68,37 @@ def train_one_epoch(
     metric_logger.update(lr=lr_now)
 
     it = global_iter
+    pending = []  # (iter index, device metrics) awaiting one batched fetch
+
+    def _drain():
+        if not pending:
+            return
+        fetched = jax.device_get([m for _, m in pending])
+        for (i, _), dm in zip(pending, fetched):
+            host_metrics = {k: float(v) for k, v in dm.items()}
+            if not math.isfinite(host_metrics["loss"]):
+                raise NonFiniteLossError(
+                    f"Loss is {host_metrics['loss']} at epoch {epoch} "
+                    f"iter {i}, stopping training"
+                )
+            metric_logger.update(**host_metrics)
+            if writer is not None:
+                writer.write(
+                    i, {f"train/{k}": v for k, v in host_metrics.items()}
+                )
+        pending.clear()
+
     for batch in metric_logger.log_every(
         loader, 30, header=f"Epoch: [{epoch}]"
     ):
         # drop the eval-only valid mask (train drops ragged batches instead)
         batch = {"image": batch["image"], "label": batch["label"]}
         state, metrics = train_step(state, batch, rng, ppc_gate)
-        loss = float(metrics["loss"])
-        if not math.isfinite(loss):
-            raise NonFiniteLossError(
-                f"Loss is {loss} at epoch {epoch}, stopping training"
-            )
-        host_metrics = {k: float(v) for k, v in metrics.items()}
-        metric_logger.update(**host_metrics)
-        if writer is not None:
-            writer.write(it, {f"train/{k}": v for k, v in host_metrics.items()})
+        pending.append((it, metrics))
+        if len(pending) >= max(1, sync_every):
+            _drain()
         it += 1
+    _drain()
 
     stats = metric_logger.averages()
     if logger is not None:

@@ -252,3 +252,69 @@ def test_smoke_train_overfits_synthetic():
         m = eval_step(state.params, batch)
         correct += float(m["correct1"]); n += float(m["n"])
     assert correct / n > 0.5, f"train acc {correct / n}"
+
+
+def test_train_one_epoch_batched_sync_aborts_on_nonfinite():
+    """The loop must NOT fetch metrics per step (each fetch is a host round
+    trip that defeats async dispatch) yet still abort on a non-finite loss
+    within sync_every steps of its occurrence."""
+    import dataclasses
+
+    from protopformer_tpu.core.config import DataConfig, ExperimentConfig, TrainConfig
+    from protopformer_tpu.train.loop import NonFiniteLossError, train_one_epoch
+
+    cfg = ExperimentConfig(
+        backbone=TINY_BK, ppnet=TINY_PP,
+        optim=dataclasses.replace(OPT, epochs=1),
+        data=DataConfig(), train=TrainConfig(),
+    )
+
+    class FakeLoader:
+        def __init__(self, n):
+            self.n = n
+
+        def set_epoch(self, e):
+            pass
+
+        def __len__(self):
+            return self.n
+
+        def __iter__(self):
+            for _ in range(self.n):
+                yield {
+                    "image": np.zeros((2, 32, 32, 3), np.float32),
+                    "label": np.zeros((2,), np.int32),
+                    "valid": np.ones((2,), np.float32),
+                }
+
+    fetches = []
+    bad_at = 7
+
+    def fake_step(state, batch, rng, gate):
+        i = len(fetches)
+        fetches.append(i)
+        loss = jnp.float32(np.nan if i == bad_at else 1.0)
+        return state, {"loss": loss, "ce_loss": loss}
+
+    with pytest.raises(NonFiniteLossError, match="iter 7"):
+        train_one_epoch(
+            fake_step, None, FakeLoader(40), epoch=0,
+            rng=jax.random.key(0), cfg=cfg, sync_every=5,
+        )
+    # the bad step was dispatched at iter 7; the abort must land at the
+    # next drain (iter 9 inclusive) — i.e. at most 4 extra dispatches
+    assert bad_at < len(fetches) <= bad_at + 5, len(fetches)
+
+    # a clean epoch drains the tail: every step's metrics reach the stats
+    calls = []
+
+    def ok_step(state, batch, rng, gate):
+        calls.append(1)
+        return state, {"loss": jnp.float32(2.0)}
+
+    _, stats, it = train_one_epoch(
+        ok_step, None, FakeLoader(13), epoch=0,
+        rng=jax.random.key(0), cfg=cfg, sync_every=5,
+    )
+    assert it == 13 and len(calls) == 13
+    assert stats["loss"] == 2.0
