@@ -153,6 +153,27 @@ def bench_host(n_images: int = 512, size=(500, 375), num_workers: int = 8):
             rate(native.build_native_eval_transform(224))
             if native.is_available() else 0.0
         )
+
+        # train-path line rate: RRC/flip in C++ (native) vs full PIL; the
+        # RandAug/jitter color ops run through PIL on the 224^2 crop in
+        # both cases (data/native.py::build_native_train_transform)
+        from protopformer_tpu.data.transforms import build_train_transform
+
+        def train_rate(path_transform):
+            loader = HostDataLoader(
+                index, build_train_transform(224), batch_size=64,
+                shuffle=True, num_workers=num_workers,
+                path_transform=path_transform,
+            )
+            t0 = time.perf_counter()
+            n = sum(int(b["valid"].sum()) for b in loader)
+            return n / (time.perf_counter() - t0)
+
+        pil_train_rate = train_rate(None)
+        nat_train_rate = (
+            train_rate(native.build_native_train_transform(224))
+            if native.is_available() else 0.0
+        )
     print(json.dumps({
         "metric": "host_eval_decode_line_rate",
         "value": round(nat_rate or pil_rate, 1),
@@ -160,6 +181,8 @@ def bench_host(n_images: int = 512, size=(500, 375), num_workers: int = 8):
         "vs_baseline": round((nat_rate or pil_rate) / max(pil_rate, 1e-9), 3),
         "pil_img_per_sec": round(pil_rate, 1),
         "native_img_per_sec": round(nat_rate, 1),
+        "train_pil_img_per_sec": round(pil_train_rate, 1),
+        "train_native_img_per_sec": round(nat_train_rate, 1),
     }))
 
 

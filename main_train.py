@@ -283,22 +283,27 @@ def main(args) -> dict:
     def _round_to_devices(bs: int) -> int:
         return max(n_dev, (bs // n_dev) * n_dev)
 
-    train_bs = _round_to_devices(cfg.data.batch_size)
-    train_loader = HostDataLoader(
-        train_index, train_tf, train_bs, shuffle=True,
-        seed=cfg.train.seed, drop_last=True,
-        num_workers=cfg.data.num_workers, mesh=mesh,
-    )
     eval_path_tf = None
+    train_path_tf = None
     if args.native_decode:
         from protopformer_tpu.data import native
 
         if native.is_available():
             eval_path_tf = native.build_native_eval_transform(img_size)
-            logger.info("native C++ decode enabled for the eval pipeline")
+            train_path_tf = native.build_native_train_transform(
+                img_size, cfg.data.color_jitter, cfg.data.aa, cfg.data.reprob
+            )
+            logger.info("native C++ decode enabled for train + eval pipelines")
         else:
             logger.warning("--native_decode requested but libppf_image is "
                            "unavailable; using PIL")
+    train_bs = _round_to_devices(cfg.data.batch_size)
+    train_loader = HostDataLoader(
+        train_index, train_tf, train_bs, shuffle=True,
+        seed=cfg.train.seed, drop_last=True,
+        num_workers=cfg.data.num_workers, mesh=mesh,
+        path_transform=train_path_tf,
+    )
     # val batch = 1.5x train batch (ref: main.py:312), device-divisible
     val_loader = HostDataLoader(
         val_index, eval_tf, _round_to_devices(int(1.5 * cfg.data.batch_size)),

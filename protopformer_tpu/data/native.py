@@ -156,6 +156,69 @@ def build_native_eval_transform(input_size: int = 224) -> Callable:
     return transform_path
 
 
+def build_native_train_transform(
+    input_size: int = 224,
+    color_jitter: float = 0.4,
+    aa: Optional[str] = "rand-m9-mstd0.5-inc1",
+    reprob: float = 0.25,
+) -> Callable:
+    """Path-based train transform on the native decoder: the RandomResizedCrop
+    box and horizontal flip are SAMPLED IN PYTHON with the caller's
+    per-(epoch, index) rng — the exact draw sequence of
+    ``transforms.build_train_transform`` — and executed in C++
+    (DCT-scaled decode + crop + bicubic resize + flip, never materializing
+    the full-size image). RandAugment / color-jitter ops then run through
+    PIL on the small (input_size)^2 crop, and RandomErasing on the float
+    array, matching the PIL pipeline's op order. Enabled by main_train's
+    ``--native_decode`` for the train loader.
+    """
+    from PIL import Image, ImageEnhance
+
+    from protopformer_tpu.data.transforms import (
+        RandAugment,
+        RandomErasing,
+        _rrc_params,
+    )
+
+    randaug = None
+    if aa and aa.startswith("rand"):
+        mag, mstd = 9, 0.5
+        for tok in aa.split("-")[1:]:
+            if tok.startswith("mstd"):
+                mstd = float(tok[4:])
+            elif tok.startswith("m"):
+                mag = int(tok[1:])
+        randaug = RandAugment(num_ops=2, magnitude=mag, magnitude_std=mstd)
+    erasing = RandomErasing(prob=reprob) if reprob > 0 else None
+
+    def transform_path(path: str, rng) -> np.ndarray:
+        with open(path, "rb") as f:
+            jb = f.read()
+        w, h = jpeg_dims(jb)
+        # identical rng draw order to the PIL path (transforms.py):
+        # rrc box -> flip -> randaug -> jitter -> erasing
+        x, y, cw, ch = _rrc_params(w, h, rng=rng)
+        flip = bool(rng.uniform() < 0.5)
+        arr = train_crop_resize(jb, x, y, cw, ch, input_size, flip)
+        if randaug is not None or color_jitter:
+            img = Image.fromarray(
+                np.clip(arr * 255.0 + 0.5, 0, 255).astype(np.uint8)
+            )
+            if randaug is not None:
+                img = randaug(img, rng)
+            if color_jitter:
+                for enh in (ImageEnhance.Brightness, ImageEnhance.Contrast,
+                            ImageEnhance.Color):
+                    f = 1.0 + rng.uniform(-color_jitter, color_jitter)
+                    img = enh(img).enhance(f)
+            arr = np.asarray(img, np.float32) / 255.0
+        if erasing is not None:
+            arr = erasing(arr, rng)
+        return arr
+
+    return transform_path
+
+
 def build_native_square_transform(input_size: int = 224) -> Callable:
     """Path-based square Resize((s,s)) with no crop — the interpretability
     protocol's transform (transforms.build_square_transform) on the native

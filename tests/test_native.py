@@ -120,3 +120,37 @@ def test_native_square_transform_matches_pil(tmp_path):
     pil = build_square_transform(112)(Image.open(p))
     assert nat.shape == (112, 112, 3)
     assert np.abs(nat - pil).mean() < 0.05
+
+
+def test_native_train_transform_geometry_matches_pil(tmp_path):
+    """With the stochastic color ops disabled, the native train path must
+    sample the SAME crop box + flip as the PIL pipeline (identical rng draw
+    order) and produce a close image (bicubic implementations differ)."""
+    from protopformer_tpu.data.transforms import build_train_transform
+
+    p = str(tmp_path / "tr.jpg")
+    _smooth_jpeg_file(p, 320, 260)
+    nat_tf = native.build_native_train_transform(
+        96, color_jitter=0.0, aa=None, reprob=0.0
+    )
+    pil_tf = build_train_transform(96, color_jitter=0.0, aa=None, reprob=0.0)
+    for seed in range(4):
+        nat = nat_tf(p, np.random.default_rng(seed))
+        pil = pil_tf(Image.open(p), np.random.default_rng(seed))
+        assert nat.shape == (96, 96, 3)
+        assert np.abs(nat - pil).mean() < 0.06, f"seed {seed}"
+
+
+def test_native_train_transform_full_pipeline(tmp_path):
+    """Full augmentation stack (RandAug + jitter + erasing) through the
+    native decoder: deterministic per-rng, valid range, actually augmented."""
+    p = str(tmp_path / "tr2.jpg")
+    _smooth_jpeg_file(p, 300, 240)
+    tf = native.build_native_train_transform(64)
+    a = tf(p, np.random.default_rng(7))
+    b = tf(p, np.random.default_rng(7))
+    c = tf(p, np.random.default_rng(8))
+    np.testing.assert_array_equal(a, b)  # deterministic in the rng
+    assert a.shape == (64, 64, 3)
+    assert np.abs(a - c).mean() > 1e-4  # different stream -> different aug
+    assert np.isfinite(a).all()
