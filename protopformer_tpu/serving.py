@@ -56,10 +56,23 @@ class ServingEngine:
       params: trained params pytree (fp32; e.g. restored from Orbax or
         converted from a reference ``.pth``). Normalization folding is
         applied internally — pass the plain trained params.
-      batch_size: compiled batch (default 160, the measured v5e sweet spot).
+      batch_size: compiled batch (default 160, the measured v5e sweet spot;
+        PER CHIP when a mesh is given — the compiled chunk is
+        ``batch_size * mesh_size``).
       compute_dtype: jnp.bfloat16 (speed, default) or jnp.float32 (parity).
       with_attn: also return the CLS rollout foreground scores per image
         (the interpretability signal the reference tooling consumes).
+      mesh: optional ``jax.sharding.Mesh`` for multi-chip serving scale-out:
+        params are replicated over the mesh, each request chunk is sharded
+        on the data axis, and XLA runs the chunk SPMD across the chips
+        (no collectives in the forward — it is batch-parallel throughout).
+        Outputs match single-device serving to fp32 reduction-order
+        tolerance (<=2e-6 measured; the per-shard shapes change XLA's
+        reduction grouping), with identical argmax classes — contract-tested
+        on the 8-virtual-device CPU mesh (tests/test_serving.py).
+      stage_window: chunks staged ahead of compute (bounded look-ahead:
+        each 224^2 uint8 chunk is ~24 MB/160 images on device, so staging a
+        large request unboundedly could exhaust HBM before compute starts).
     """
 
     def __init__(
@@ -70,16 +83,33 @@ class ServingEngine:
         batch_size: int = 160,
         compute_dtype=jnp.bfloat16,
         with_attn: bool = False,
+        mesh=None,
+        stage_window: int = 4,
     ):
         enable_compilation_cache()
-        self.batch_size = batch_size
+        self.mesh = mesh
+        self._mesh_size = 1 if mesh is None else mesh.size
+        self.batch_size = batch_size * self._mesh_size
         self.with_attn = with_attn
+        self.stage_window = max(1, stage_window)
         self._model = construct_ppnet(
             backbone, ppnet, compute_dtype=compute_dtype
         )
         self._params = fold_normalization_into_patch_embed(
             params, input_scale=1.0 / 255.0
         )
+        if mesh is not None:
+            from protopformer_tpu.parallel import (
+                batch_sharding,
+                replicated_sharding,
+            )
+
+            self._params = jax.device_put(
+                self._params, replicated_sharding(mesh)
+            )
+            self._chunk_sharding = batch_sharding(mesh)
+        else:
+            self._chunk_sharding = None
         img = backbone.img_size
 
         @jax.jit
@@ -127,12 +157,18 @@ class ServingEngine:
                 f"ServingEngine consumes raw uint8 RGB, got {images.dtype}"
             )
         n = images.shape[0]
-        # stage ALL chunks to the device first (async device_put), then
-        # dispatch all forwards: interleaving H2D with compute dispatches
-        # serializes the pipeline on remote-tunnel backends (measured
-        # ~0.5 s/chunk vs fully-pipelined execution)
-        staged = []
-        for start in range(0, n, self.batch_size):
+        # stage chunks AHEAD of their dispatch (async device_put before the
+        # forward that consumes them — interleaving H2D with compute
+        # dispatches serializes the pipeline on remote-tunnel backends,
+        # measured ~0.5 s/chunk vs fully-pipelined), but with a BOUNDED
+        # look-ahead window: each staged chunk is resident uint8 HBM, so an
+        # unbounded stage-everything pass could exhaust device memory on
+        # large requests before compute starts. Backpressure: before
+        # staging chunk i, wait for chunk i-window's compute (which frees
+        # its input buffer).
+        starts = list(range(0, n, self.batch_size))
+
+        def _stage(start):
             chunk = images[start:start + self.batch_size]
             real = chunk.shape[0]
             if real < self.batch_size:
@@ -145,15 +181,25 @@ class ServingEngine:
                         ),
                     ]
                 )
-            staged.append((jax.device_put(chunk), real))
+            return jax.device_put(chunk, self._chunk_sharding), real
+
+        staged = [_stage(s) for s in starts[: self.stage_window]]
         logits, attns = [], []
         token = jnp.float32(0)
-        for dev_chunk, real in staged:
+        for i in range(len(starts)):
+            dev_chunk, real = staged[i]
             out = self._forward(self._params, dev_chunk, token)
             token = out["token"]
             logits.append(out["logits"][:real])
             if self.with_attn:
                 attns.append(out["cls_token_attn"][:real])
+            nxt = i + self.stage_window
+            if nxt < len(starts):
+                if i >= 1:
+                    # chunk i-1's forward output ready => its input freed
+                    jax.block_until_ready(logits[i - 1])
+                staged.append(_stage(starts[nxt]))
+            staged[i] = None  # drop our reference to the consumed input
         # concatenate ON DEVICE and fetch once — each host fetch is a full
         # round trip (~30-500 ms through a remote tunnel)
         logits = np.asarray(jnp.concatenate(logits))

@@ -70,3 +70,43 @@ def test_serving_engine_rejects_float_input():
         assert "uint8" in str(e)
     else:
         raise AssertionError("float input must be rejected")
+
+
+def test_serving_engine_multichip_bit_identical_to_single_device():
+    """Mesh serving scale-out (replicated params, request chunks sharded on
+    the data axis): ragged request sizes across several chunks must match
+    the single-device engine.
+
+    Tolerance note: the sharded program compiles per-shard (B/8) shapes, so
+    XLA groups fp32 reductions differently than the single-device (B) shape
+    — measured <=2e-6 on logits. Bit-identity across different compiled
+    shapes is not an XLA contract; argmax classes must still be EQUAL."""
+    from protopformer_tpu.parallel import make_mesh
+
+    model = construct_ppnet(BK, PP)
+    params = model.init(
+        jax.random.key(1), jnp.zeros((1, 32, 32, 3))
+    )["params"]
+    rng = np.random.default_rng(7)
+
+    mesh = make_mesh()  # 8 virtual CPU devices (conftest)
+    assert mesh.size == 8
+    single = ServingEngine(
+        BK, PP, params, batch_size=16,
+        compute_dtype=jnp.float32, with_attn=True,
+    )
+    multi = ServingEngine(
+        BK, PP, params, batch_size=2,  # per chip -> same 16-image chunk
+        compute_dtype=jnp.float32, with_attn=True, mesh=mesh,
+        stage_window=2,
+    )
+    assert multi.batch_size == 16
+    for n in (1, 16, 37):  # sub-chunk, exact, ragged multi-chunk
+        imgs = (rng.uniform(size=(n, 32, 32, 3)) * 255).astype(np.uint8)
+        a = single(imgs)
+        b = multi(imgs)
+        np.testing.assert_allclose(a.logits, b.logits, rtol=0, atol=1e-5)
+        np.testing.assert_array_equal(a.top_class, b.top_class)
+        np.testing.assert_allclose(
+            a.cls_token_attn, b.cls_token_attn, rtol=0, atol=1e-6
+        )
