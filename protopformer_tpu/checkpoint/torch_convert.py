@@ -363,15 +363,26 @@ def export_ppnet_state_dict(
     arch: str,
     depth: int,
     depth_token_only: int = 2,
+    global_proto_per_class: int = 10,
 ) -> Dict[str, Array]:
     """PPNet params tree -> reference-layout checkpoint state dict
     (inverse of ``convert_ppnet_state_dict``).
 
     A trained TPU checkpoint exported this way loads into the reference's
-    ``construct_PPNet`` model with ``load_state_dict`` (conv add-on layers
-    are re-emitted at the reference's Sequential indices 0, 2, 4...
-    matching both the 'regular' and 'bottleneck' stacks —
-    ref: protopformer.py:90-113)."""
+    ``construct_PPNet`` model with STRICT ``load_state_dict`` (the tools'
+    loading mode — ref: eval_interpretability.py:156, main.py:399): the
+    conv add-on layers are re-emitted at the reference's Sequential indices
+    0, 2, 4... matching both the 'regular' and 'bottleneck' stacks
+    (ref: protopformer.py:90-113), and the keys the reference model ALWAYS
+    registers are always emitted —
+
+      * ``ones``: the frozen all-ones (P, C, 1, 1) parameter
+        (ref: protopformer.py:123-124);
+      * ``last_layer_global.weight``: created unconditionally even when
+        ``use_global`` is off (ref: protopformer.py:128-131) and frozen at
+        the +1/-0.5 class-identity pattern (ref: :380-386) — synthesized
+        from ``global_proto_per_class`` (reserve the reference preset's
+        value) when the TPU model carries no global branch."""
     feats = (
         export_deit_state_dict(params["features"], depth)
         if arch == "deit"
@@ -386,7 +397,9 @@ def export_ppnet_state_dict(
         w = _t(layer["kernel"]).T[:, :, None, None]  # (out, in, 1, 1)
         sd[f"add_on_layers.{2 * j}.weight"] = w
         sd[f"add_on_layers.{2 * j}.bias"] = _t(layer["bias"])
-    sd["prototype_vectors"] = _t(params["prototype_vectors"])[:, :, None, None]
+    protos = _t(params["prototype_vectors"])
+    sd["prototype_vectors"] = protos[:, :, None, None]
+    sd["ones"] = np.ones(protos.shape + (1, 1), np.float32)
     sd["last_layer.weight"] = _t(params["last_layer_w"]).T
     if "prototype_vectors_global" in params:
         sd["prototype_vectors_global"] = _t(
@@ -395,6 +408,16 @@ def export_ppnet_state_dict(
         sd["last_layer_global.weight"] = _t(
             params["last_layer_global_w"]
         ).T
+    else:
+        # no global branch trained: synthesize the frozen identity pattern
+        # the reference model holds in this key regardless (it is never
+        # trained — requires_grad=False, ref: protopformer.py:131)
+        num_classes = _t(params["last_layer_w"]).shape[1]
+        n_global = num_classes * global_proto_per_class
+        w = np.full((num_classes, n_global), -0.5, np.float32)
+        for j in range(n_global):
+            w[j // global_proto_per_class, j] = 1.0
+        sd["last_layer_global.weight"] = w
     return sd
 
 

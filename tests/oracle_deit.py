@@ -135,6 +135,11 @@ class RefPPNet(nn.Module):
         self.prototype_vectors = nn.Parameter(
             torch.rand(num_prototypes, proto_dim, 1, 1)
         )
+        # the real reference registers this frozen all-ones parameter
+        # (protopformer.py:123-124), so strict load_state_dict requires it
+        self.ones = nn.Parameter(
+            torch.ones(num_prototypes, proto_dim, 1, 1), requires_grad=False
+        )
         pg = num_classes * global_per_class
         self.prototype_vectors_global = nn.Parameter(
             torch.rand(pg, proto_dim, 1, 1)

@@ -170,3 +170,31 @@ def test_main_export_cli(tmp_path):
     sd = load_torch_checkpoint(out)
     back = convert_ppnet_state_dict(sd, arch="deit", depth=3)
     _tree_equal(jax.tree_util.tree_map(np.asarray, params), back)
+
+
+def test_export_emits_reference_mandatory_keys_without_global():
+    """The reference PPNet ALWAYS registers 'ones' and 'last_layer_global'
+    (protopformer.py:123-131) and its tools load with strict=True
+    (eval_interpretability.py:156) — so the export must emit both even for
+    a use_global=False model, with the frozen +1/-0.5 identity pattern in
+    the synthesized global head."""
+    import dataclasses
+
+    pp_local = dataclasses.replace(PP, use_global=False)
+    model = construct_ppnet(BK, pp_local)
+    params = model.init(
+        jax.random.key(3), jnp.zeros((1, 32, 32, 3))
+    )["params"]
+    sd = export_ppnet_state_dict(
+        params, arch="deit", depth=3, global_proto_per_class=3
+    )
+    assert "prototype_vectors_global" not in params
+    np.testing.assert_array_equal(
+        sd["ones"], np.ones((40, 16, 1, 1), np.float32)
+    )
+    wg = sd["last_layer_global.weight"]
+    assert wg.shape == (4, 12)
+    for j in range(12):
+        expected = np.full((4,), -0.5, np.float32)
+        expected[j // 3] = 1.0
+        np.testing.assert_array_equal(wg[:, j], expected)
