@@ -1,12 +1,17 @@
 """Worker for the true multi-process distributed test (test_multihost.py).
 
-Run as: python tests/_mp_worker.py <process_id> <num_processes> <port>
+Run as: python tests/_mp_worker.py <process_id> <num_processes> <port> [ckpt_dir]
 
 Each process: initializes jax.distributed (gloo CPU collectives), takes its
 per-host shard of a deterministic synthetic dataset
 (shard_index_for_process), assembles its LOCAL batch into the global
 sharded array (assemble_global_batch), and runs ONE data-parallel train
-step. Prints one JSON line with the metrics and its shard composition so
+step. With ``ckpt_dir``, it then SAVES the updated state as a multihost
+Orbax checkpoint (all processes participate; Orbax gates the metadata
+write on process 0 — the reference's ``save_on_master``,
+tools/utils.py:242-244) and RESTORES it into the pre-step state template,
+asserting the round trip reproduces the post-step state on every process.
+Prints one JSON line with the metrics and its shard composition so
 the parent can assert cross-process agreement and coverage.
 
 This exercises the real process-boundary path the in-process 8-device mesh
@@ -110,7 +115,34 @@ def main() -> None:
         state2.params["prototype_vectors"] - state.params["prototype_vectors"]
     ).max())
 
+    ckpt = {}
+    ckpt_dir = sys.argv[4] if len(sys.argv) > 4 else None
+    if ckpt_dir:
+        from protopformer_tpu.checkpoint.manager import CheckpointManager
+
+        mgr = CheckpointManager(ckpt_dir, max_to_keep=1)
+        mgr.save(0, state2, extra={"val_acc": 0.5})
+        # restore into the PRE-step state (different values) so a no-op
+        # restore cannot pass; every process must get the post-step values
+        restored, meta = mgr.restore(state)
+
+        def _local(x):
+            return np.asarray(x.addressable_data(0))
+
+        diffs = jax.tree_util.tree_map(
+            lambda a, b: float(np.abs(_local(a) - _local(b)).max()),
+            restored.params, state2.params,
+        )
+        ckpt = {
+            "ckpt_roundtrip_delta": max(
+                jax.tree_util.tree_leaves(diffs)
+            ),
+            "ckpt_meta": meta,
+            "ckpt_step": int(_local(restored.step)),
+        }
+
     print(json.dumps({
+        **ckpt,
         "pid": pid,
         "is_main": bool(is_main_process()),
         "n_local_devices": len(jax.local_devices()),

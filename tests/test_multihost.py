@@ -52,16 +52,19 @@ def test_shard_index_process_count_one_is_identity():
     assert out.paths == index.paths
 
 
-def _run_worker(pid: int, nproc: int, port: int):
+def _run_worker(pid: int, nproc: int, port: int, ckpt_dir: str = None):
     env = dict(os.environ)
     # the worker forces the CPU platform itself; scrub any axon/TPU state
     env.pop("XLA_FLAGS", None)
     repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     env["PYTHONPATH"] = repo_root + os.pathsep + env.get("PYTHONPATH", "")
+    argv = [sys.executable,
+            os.path.join(os.path.dirname(__file__), "_mp_worker.py"),
+            str(pid), str(nproc), str(port)]
+    if ckpt_dir:
+        argv.append(ckpt_dir)
     return subprocess.Popen(
-        [sys.executable,
-         os.path.join(os.path.dirname(__file__), "_mp_worker.py"),
-         str(pid), str(nproc), str(port)],
+        argv,
         stdout=subprocess.PIPE, stderr=subprocess.PIPE, env=env, text=True,
         cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
     )
@@ -75,20 +78,24 @@ def _last_json(stdout: str) -> dict:
 
 
 @pytest.mark.timeout(600)
-def test_two_process_distributed_train_step():
+def test_two_process_distributed_train_step(tmp_path):
     """The process-boundary path the in-process mesh tests cannot reach
     (ref equivalent: torch.distributed.launch + DistributedSampler + DDP,
     main.py:286-316): 2 OS processes, 2 CPU devices each, gloo collectives.
     Asserts (a) both processes see the 4-device global mesh, (b) the
     per-host shards cover the dataset disjointly, (c) both report identical
-    metrics (the loss is psum'd), (d) parameters moved, and (e) the
+    metrics (the loss is psum'd), (d) parameters moved, (e) the
     metrics MATCH a single-process emulation of the same global batch on
-    the same 4-device mesh — the distributed assembly changes nothing."""
+    the same 4-device mesh — the distributed assembly changes nothing —
+    and (f) a MULTIHOST Orbax checkpoint saved by the 2-process run
+    round-trips exactly on both processes (ref: save_on_master,
+    tools/utils.py:242-244)."""
     with socket.socket() as s:
         s.bind(("localhost", 0))
         port = s.getsockname()[1]
 
-    procs = [_run_worker(p, 2, port) for p in range(2)]
+    ckpt_dir = str(tmp_path / "mh_ckpt")
+    procs = [_run_worker(p, 2, port, ckpt_dir) for p in range(2)]
     outs = []
     for p in procs:
         stdout, stderr = p.communicate(timeout=540)
@@ -102,6 +109,11 @@ def test_two_process_distributed_train_step():
         assert r["global_batch"] == 8
         assert np.isfinite(r["loss"])
         assert r["param_delta"] > 0  # gradients crossed processes
+        # the multihost checkpoint reproduced the post-step params exactly
+        assert r["ckpt_roundtrip_delta"] == 0.0
+        assert r["ckpt_step"] == 1
+        assert r["ckpt_meta"]["epoch"] == 0
+        assert r["ckpt_meta"]["val_acc"] == 0.5
     assert r0["loss"] == r1["loss"]  # replicated (psum'd) metrics agree
 
     # disjoint-and-complete shard coverage (8 + 8 = 16 samples)
