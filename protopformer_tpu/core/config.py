@@ -60,9 +60,12 @@ class BackboneConfig:
     # ops/rollout.py) measured faster than the per-sample Pallas grid; the
     # kernels remain available for larger-batch/multi-core regimes.
     use_pallas: str = "off"
-    # attention lowering under 'mean' prob fusion: 'headloop' (per-head
-    # 3-D dots) or 'batched' (4-D einsum). Bit-identical; the faster one
-    # is an XLA layout question, re-measured in the bench ablations.
+    # attention lowering under 'mean' prob fusion — all four bit-identical;
+    # the faster one is an XLA layout question, re-measured in the bench
+    # ablations: 'headloop' (per-head 3-D dots, the default), 'batched'
+    # (4-D einsum + transposes), 'headdense' (per-head KERNEL slices so
+    # activations are never channel-sliced), 'einsum' (transpose-free
+    # einsum forms). Validated in __post_init__.
     attn_impl: str = "headloop"
     # Fused Pallas kernel for the lazy-rollout map statistics
     # ("on"/"auto"/"off"): one VMEM-resident pass per map instead of
@@ -86,6 +89,24 @@ class BackboneConfig:
     # bf16 speed mode and keeps the reference policy-mask path in fp32
     # parity mode.
     prune_gather: str = "auto"
+
+    def __post_init__(self):
+        # a typo'd mode string must error, not silently change the lowering
+        _check = {
+            "attn_impl": (self.attn_impl,
+                          ("headloop", "batched", "headdense", "einsum")),
+            "use_pallas": (self.use_pallas, ("on", "off", "auto")),
+            "stats_kernel": (self.stats_kernel, ("on", "off", "auto")),
+            "quantize": (self.quantize, ("off", "int8")),
+            "prune_gather": (self.prune_gather, ("on", "off", "auto")),
+            "rollout_head_fusion": (self.rollout_head_fusion,
+                                    ("mean", "max", "min")),
+        }
+        for name, (value, allowed) in _check.items():
+            if value not in allowed:
+                raise ValueError(
+                    f"BackboneConfig.{name}={value!r} not in {allowed}"
+                )
 
     @property
     def num_patches(self) -> int:

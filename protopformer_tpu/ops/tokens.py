@@ -7,7 +7,11 @@ scatters per-token values back onto the 14x14 grid with ``scatter_``
 
 On TPU:
   * top-k and gather have static shapes (k is 81/121 from config) — XLA loves
-    this; ``jax.lax.top_k`` matches torch's tie-breaking (stable by index).
+    this. Tie-breaking caveat: torch and jax ``top_k`` break EXACT-VALUE ties
+    differently (observed on exact-zero rollout scores at toy scale); at
+    production scale the 11-layer rollout densifies the scores and ties do
+    not occur — asserted by the real-scale parity test
+    (tests/test_parity.py), see docs/DESIGN.md "Precision policy".
   * the in-place ``scatter_`` becomes a one-hot matmul
     (values (B, P, K) x onehot (B, K, N) -> (B, P, N)), which rides the MXU
     instead of generating a scatter op.

@@ -298,3 +298,22 @@ def test_distilled_preset_dispatch(images):
 
     with pytest.raises(ValueError, match="distilled"):
         construct_ppnet(cfg, TINY_PPNET).init(jax.random.key(0), images)
+
+
+def test_backbone_config_rejects_unknown_mode_strings():
+    """A typo'd lowering-mode string must raise, not silently fall through
+    to a different code path (attn_impl et al. are trace-time switches)."""
+    import dataclasses
+
+    import pytest
+
+    for field, bad in [
+        ("attn_impl", "headlop"), ("use_pallas", "yes"),
+        ("stats_kernel", "enable"), ("quantize", "int4"),
+        ("prune_gather", "1"), ("rollout_head_fusion", "avg"),
+    ]:
+        with pytest.raises(ValueError, match=field):
+            dataclasses.replace(TINY_DEIT, **{field: bad})
+    # all documented values construct fine
+    for impl in ("headloop", "batched", "headdense", "einsum"):
+        dataclasses.replace(TINY_DEIT, attn_impl=impl)
