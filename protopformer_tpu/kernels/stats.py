@@ -69,12 +69,15 @@ def _stats_kernel(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("discard_ratio", "exact_discard", "interpret"),
+    static_argnames=(
+        "discard_ratio", "exact_discard", "keep_elements", "interpret"
+    ),
 )
 def fused_map_stats(
     fmap: jax.Array,
     discard_ratio: float = 0.9,
     exact_discard: bool = False,
+    keep_elements: int = None,
     interpret: bool = False,
 ) -> Tuple[jax.Array, jax.Array]:
     """Fused equivalent of ``masked_map_stats`` for square self-attention
@@ -83,14 +86,21 @@ def fused_map_stats(
     Args:
       fmap: (B, N, N) non-negative head-fused map. bf16 in speed mode
         (``exact_discard=False``) or fp32 (exact mode).
+      keep_elements: REAL element count per map when the map is padded with
+        exact zeros (``masked_map_stats``'s padded-serving contract): the
+        keep/discard counts are computed on it instead of N*N. Safe because
+        zero pads have bit pattern 0 and every bisection probe is >= 1, so
+        pads never enter the counts, and the final threshold is > 0
+        whenever discard is active, so pads never enter the row sums.
     Returns:
       (t (B,) threshold in the map dtype, s (B, N) fp32 masked row sums) —
       same contract as ``ops.rollout.masked_map_stats``.
     """
     B, M, N = fmap.shape
     assert M == N, "kernel is for square self-attention maps"
-    keep = M * N - int(M * N * discard_ratio)
-    if keep >= M * N:  # no-discard: plain row sums, -inf sentinel
+    real = keep_elements if keep_elements is not None else M * N
+    keep = real - int(real * discard_ratio)
+    if keep >= real:  # no-discard: plain row sums, -inf sentinel
         return (
             jnp.full((B,), -jnp.inf, jnp.float32),
             jnp.sum(fmap.astype(jnp.float32), axis=-1),

@@ -187,3 +187,53 @@ def test_fused_attention_mean_padded_matches_jax(rng, ones):
     # pads are EXACT zeros (the lazy-rollout/bisect contract)
     assert np.abs(np.asarray(got_map[:, N:])).max() == 0.0
     assert np.abs(np.asarray(got_map[:, :, N:])).max() == 0.0
+
+
+@pytest.mark.parametrize("exact", [True, False])
+def test_fused_map_stats_matches_masked_map_stats(rng, exact):
+    """Interpret-mode parity of the fused stats kernel vs the XLA path it
+    claims to mirror (same (threshold, masked row sums) contract), for both
+    the exact-fp32 and 16-bit-prefix bisections, on both map dtypes."""
+    from protopformer_tpu.kernels.stats import fused_map_stats
+    from protopformer_tpu.ops.rollout import masked_map_stats
+
+    B, N = 4, 24
+    maps = rng.uniform(size=(B, N, N)).astype(np.float32)
+    maps /= maps.sum(-1, keepdims=True)  # softmax-like probabilities
+    fmap = jnp.asarray(maps)
+    if not exact:
+        fmap = fmap.astype(jnp.bfloat16)
+
+    want_t, want_s = masked_map_stats(fmap, 0.9, exact_discard=exact)
+    got_t, got_s = fused_map_stats(
+        fmap, 0.9, exact_discard=exact, interpret=True
+    )
+    np.testing.assert_array_equal(np.asarray(got_t), np.asarray(want_t))
+    np.testing.assert_allclose(
+        np.asarray(got_s), np.asarray(want_s), atol=1e-6
+    )
+
+
+def test_fused_map_stats_padded_keep_elements(rng):
+    """The padded-map contract (keep_elements with exact-zero pads) must
+    match masked_map_stats: counts on the REAL element count, pads never
+    crossing the threshold or entering the row sums."""
+    from protopformer_tpu.kernels.stats import fused_map_stats
+    from protopformer_tpu.ops.rollout import masked_map_stats
+
+    B, NR, NP = 4, 17, 24  # real 17x17 map padded to 24x24 with zeros
+    maps = np.zeros((B, NP, NP), np.float32)
+    maps[:, :NR, :NR] = rng.uniform(size=(B, NR, NR)).astype(np.float32)
+    fmap = jnp.asarray(maps)
+
+    want_t, want_s = masked_map_stats(
+        fmap, 0.9, exact_discard=True, keep_elements=NR * NR
+    )
+    got_t, got_s = fused_map_stats(
+        fmap, 0.9, exact_discard=True, keep_elements=NR * NR, interpret=True
+    )
+    np.testing.assert_array_equal(np.asarray(got_t), np.asarray(want_t))
+    np.testing.assert_allclose(
+        np.asarray(got_s), np.asarray(want_s), atol=1e-6
+    )
+    assert float(np.asarray(got_t).min()) > 0.0  # pads stay below threshold

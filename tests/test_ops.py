@@ -346,3 +346,4 @@ def test_gelu_speed_deviation_bound(rng=np.random.default_rng(12)):
     fb = np.asarray(gelu_speed(x.astype(jnp.bfloat16)).astype(jnp.float32))
     denom = np.maximum(np.abs(eb), 1e-2)
     assert np.median(np.abs(fb - eb) / denom) < 4e-3
+
