@@ -90,6 +90,11 @@ class BackboneConfig:
     # parity mode.
     prune_gather: str = "auto"
 
+    # patch-embedding lowering: 'conv' (strided nn.Conv) or 'matmul'
+    # (unfold + one MXU dot — same params/math, see layers._PatchProj);
+    # the faster one is re-measured in the bench ablations
+    patch_embed: str = "conv"
+
     def __post_init__(self):
         # a typo'd mode string must error, not silently change the lowering
         _check = {
@@ -99,6 +104,7 @@ class BackboneConfig:
             "stats_kernel": (self.stats_kernel, ("on", "off", "auto")),
             "quantize": (self.quantize, ("off", "int8")),
             "prune_gather": (self.prune_gather, ("on", "off", "auto")),
+            "patch_embed": (self.patch_embed, ("conv", "matmul")),
             "rollout_head_fusion": (self.rollout_head_fusion,
                                     ("mean", "max", "min")),
         }

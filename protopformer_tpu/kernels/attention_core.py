@@ -469,3 +469,163 @@ def fused_attention_core(
         ),
         interpret=interpret,
     )(qkv, policy[:, None, :])
+
+
+def _block_stats_kernel(
+    qkv_ref,     # (TB, N, 3C) compute-dtype qkv activations
+    out_ref,     # (TB, N, C) attention output (pre-projection)
+    map_ref,     # (TB, N, N) head-MEAN map in the rollout storage dtype
+    t_ref,       # (TB, 1) f32 discard threshold (kth largest of the map)
+    s_ref,       # (TB, N) f32 masked row sums
+    *,
+    num_heads: int,
+    keep: int,
+    prefix16: bool,
+    compute_dtype=jnp.bfloat16,
+):
+    """Attention + eps-softmax + head-mean map + in-VMEM bisect + row sums.
+
+    The probability tensors never leave VMEM; the map is written ONCE in
+    its storage dtype and the bisection runs on the resident tile —
+    replacing the XLA path's per-head probs materialization (3x 12 MB/layer
+    at production shape) AND its 15/31 HBM count passes.
+
+    Numerics replicate the XLA speed path bit-for-bit by construction:
+      * eps-softmax in the compute dtype with an fp32 row-sum and a
+        reciprocal multiply (ops/masking.py::eps_softmax, bf16 branch);
+      * the head mean ACCUMULATES fp32 and rounds once at storage;
+      * the bisection runs on the STORED (rounded) map via the exact
+        fp32 widening (same contract as kth_largest_bf16 /
+        kth_largest — kernels/stats.py), Python-unrolled (a Mosaic
+        fori_loop's bookkeeping costs as much as a count pass).
+    """
+    TB, N, C3 = qkv_ref.shape
+    C = C3 // 3
+    H = num_heads
+    hd = C // H
+    scale = hd ** -0.5
+    cd = compute_dtype
+    eps = SOFTMAX_EPS
+
+    qk_dims = (((2,), (2,)), ((0,), (0,)))
+    pv_dims = (((2,), (1,)), ((0,), (0,)))
+
+    acc = jnp.zeros((TB, N, N), jnp.float32)
+    for hh in range(H):
+        q = qkv_ref[:, :, hh * hd:(hh + 1) * hd]
+        k = qkv_ref[:, :, C + hh * hd:C + (hh + 1) * hd]
+        v = qkv_ref[:, :, 2 * C + hh * hd:2 * C + (hh + 1) * hd]
+        # round the f32-accumulated dot to cd FIRST, then scale in cd —
+        # the exact rounding order of the XLA path's
+        # ``einsum(q, k) * (hd ** -0.5)`` on bf16 operands
+        logits = jax.lax.dot_general(
+            q, k, qk_dims, preferred_element_type=jnp.float32
+        ).astype(cd) * scale
+        m = jnp.max(logits, axis=-1, keepdims=True)
+        e = jnp.exp(logits - m)
+        s = jnp.sum(
+            e.astype(jnp.float32), axis=-1, keepdims=True
+        ) + eps
+        inv = (1.0 / s).astype(cd)
+        probs = (e + jnp.asarray(eps / N, cd)) * inv
+        acc = acc + probs.astype(jnp.float32) * (1.0 / H)
+        out_ref[:, :, hh * hd:(hh + 1) * hd] = jax.lax.dot_general(
+            probs, v, pv_dims, preferred_element_type=jnp.float32
+        ).astype(out_ref.dtype)
+
+    map_ref[:] = acc.astype(map_ref.dtype)
+    # bisect the STORED (rounded) map — exact fp32 widening, so the result
+    # is bit-identical to kth_largest_bf16 (bf16 maps) / kth_largest (fp32)
+    af = map_ref[:].astype(jnp.float32)
+    bits = pltpu.bitcast(af, jnp.int32)
+    one = 0x3F800000  # fp32 bit pattern of 1.0 (static value_bound)
+    if prefix16:
+        bits = jax.lax.shift_right_logical(bits, 16)
+        steps, hi0 = 15, one >> 16  # value_bound=1.0 (softmax prob maps)
+    else:
+        steps, hi0 = 31, one
+
+    lo = jnp.zeros((TB, 1, 1), jnp.int32)
+    hi = jnp.full((TB, 1, 1), hi0, jnp.int32)
+    for _ in range(steps):
+        mid = lo + (hi - lo + 1) // 2
+        cnt = jnp.sum(
+            jnp.sum((bits >= mid).astype(jnp.int32), axis=2), axis=1
+        )[:, None, None]
+        ok = cnt >= keep
+        lo, hi = jnp.where(ok, mid, lo), jnp.where(ok, hi, mid - 1)
+
+    if prefix16:
+        lo = jax.lax.shift_left(lo, 16)
+    thresh = pltpu.bitcast(lo, jnp.float32)  # (TB, 1, 1)
+    t_ref[:] = thresh[:, :, 0]
+    s_ref[:] = jnp.sum(jnp.where(af >= thresh, af, 0.0), axis=2)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("num_heads", "discard_ratio", "exact_discard",
+                     "block_batch", "compute_dtype", "interpret"),
+)
+def fused_attention_block_stats(
+    qkv: jax.Array,
+    num_heads: int,
+    discard_ratio: float = 0.9,
+    exact_discard: bool = False,
+    block_batch: int = 8,
+    compute_dtype=jnp.bfloat16,
+    interpret: bool = False,
+):
+    """Fused ones-policy attention emitting (out, map, threshold, row sums).
+
+    One kernel per block replaces: per-head eps-softmax materialization +
+    AV dots + head-mean map build + ``masked_map_stats`` (threshold
+    bisection + masked row sums). The map is emitted tight (no 128-lane
+    padding) in the rollout storage dtype: bf16 in speed mode
+    (``exact_discard=False``), fp32 in exact mode — the downstream lazy
+    rollout consumes (map, t, s) unchanged (ops/rollout.py).
+
+    Returns:
+      out (B, N, C) compute dtype — pre-projection attention output;
+      fmap (B, N, N) storage dtype; t (B,) storage dtype; s (B, N) f32.
+    """
+    B, N, C3 = qkv.shape
+    C = C3 // 3
+    E = N * N
+    keep = E - int(E * discard_ratio)
+    assert 0 < keep < E, "fused block kernel requires an active discard"
+    map_dtype = jnp.float32 if exact_discard else jnp.bfloat16
+    TB = block_batch
+    while B % TB:
+        TB //= 2
+    kernel = functools.partial(
+        _block_stats_kernel,
+        num_heads=num_heads, keep=keep, prefix16=not exact_discard,
+        compute_dtype=compute_dtype,
+    )
+    out, fmap, t, s = pl.pallas_call(
+        kernel,
+        grid=(B // TB,),
+        in_specs=[
+            pl.BlockSpec((TB, N, C3), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((TB, N, C), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TB, N, N), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TB, 1), lambda b: (b, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TB, N), lambda b: (b, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, N, C), qkv.dtype),
+            jax.ShapeDtypeStruct((B, N, N), map_dtype),
+            jax.ShapeDtypeStruct((B, 1), jnp.float32),
+            jax.ShapeDtypeStruct((B, N), jnp.float32),
+        ),
+        interpret=interpret,
+    )(qkv)
+    return out, fmap, t[:, 0].astype(map_dtype), s

@@ -47,7 +47,7 @@ class CaiTBackbone(nn.Module):
         cfg = self.config
         self.patch_embed = PatchEmbed(
             cfg.patch_size, cfg.embed_dim, dtype=self.compute_dtype,
-            name="patch_embed",
+            impl=cfg.patch_embed, name="patch_embed",
         )
         self.cls_token = self.param(
             "cls_token", nn.initializers.truncated_normal(0.02),

@@ -96,7 +96,7 @@ class DeiTBackbone(nn.Module):
         cfg = self.config
         self.patch_embed = PatchEmbed(
             cfg.patch_size, cfg.embed_dim, dtype=self.compute_dtype,
-            name="patch_embed",
+            impl=cfg.patch_embed, name="patch_embed",
         )
         self.cls_token = self.param(
             "cls_token", nn.initializers.truncated_normal(0.02),
@@ -110,7 +110,10 @@ class DeiTBackbone(nn.Module):
         depth = cfg.depth
         dpr = [cfg.drop_path_rate * i / max(depth - 1, 1) for i in range(depth)]
         rollout_norm = (
-            (cfg.rollout_discard_ratio, cfg.rollout_identity_weight)
+            # 3rd element (exact_discard) selects the map storage dtype of
+            # the fused block-stats kernel (layers.Attention)
+            (cfg.rollout_discard_ratio, cfg.rollout_identity_weight,
+             cfg.rollout_exact_discard)
             if fused_rollout_core(cfg)
             else None
         )
@@ -256,8 +259,16 @@ class DeiTBackbone(nn.Module):
                     policy, _ = reserve_policy(
                         cls_token_attn, reserve_map[i], seq_len
                     )
-            x, aux = blk(x, policy, deterministic)
+            x, aux = blk(x, policy, deterministic, tap=i < last_prune)
             if i < last_prune:
+                if isinstance(aux, tuple):
+                    # fused block-stats kernel: (map, threshold, row sums)
+                    # — the lazy-rollout triple, already in storage dtype;
+                    # detached like the reference's rollout
+                    fmap, t, s = (jax.lax.stop_gradient(a) for a in aux)
+                    norm_maps.append(fmap)
+                    lazy_stats.append((t, s))
+                    continue
                 if aux.ndim == 3:
                     # block emitted the head-fused fp32 map (fuse_probs or
                     # pallas core); rollout is detached like the reference
@@ -336,7 +347,9 @@ class DeiTBackbone(nn.Module):
                 policy = jnp.concatenate(
                     [jnp.ones((B, 1), jnp.float32), keep], axis=1
                 )
-            x, attn = blk(x, policy, deterministic)
+            # tap=False: this variant consumes raw maps via
+            # normalize_block_attention, not the fused (map, t, s) triple
+            x, attn = blk(x, policy, deterministic, tap=False)
             if i < first_prune:
                 norm_maps.append(normalize_block_attention(attn, self.config))
 
@@ -391,7 +404,7 @@ class DistilledDeiT(nn.Module):
         cfg = self.config
         self.patch_embed = PatchEmbed(
             cfg.patch_size, cfg.embed_dim, dtype=self.compute_dtype,
-            name="patch_embed",
+            impl=cfg.patch_embed, name="patch_embed",
         )
         self.cls_token = self.param(
             "cls_token", nn.initializers.truncated_normal(0.02),

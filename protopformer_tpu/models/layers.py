@@ -80,8 +80,13 @@ def _dense(quant: bool, features: int, dtype, prec, name: str,
                     param_dtype=jnp.float32, precision=prec, name=name)
 
 
-class PatchEmbed(nn.Module):
-    """Image -> patch tokens via strided conv (timm PatchEmbed equivalent)."""
+class _PatchProj(nn.Module):
+    """Patch projection as an unfold + ONE big matmul — param-compatible
+    with ``nn.Conv(kernel_size=(p,p), strides=(p,p))`` (same 'kernel'/'bias'
+    shapes, so checkpoints, the torch converter, and the normalization fold
+    are unaffected). For stride==kernel the conv IS this matmul; stating it
+    as a dot lets XLA feed the MXU directly instead of the conv lowering
+    (measured vs the conv in the bench ablations)."""
 
     patch_size: int
     embed_dim: int
@@ -89,8 +94,48 @@ class PatchEmbed(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
+        p = self.patch_size
+        B, H, W, C = x.shape
+        gh, gw = H // p, W // p
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (p, p, C, self.embed_dim), jnp.float32,
+        )
+        bias = self.param(
+            "bias", nn.initializers.zeros, (self.embed_dim,), jnp.float32
+        )
+        # (B, gh, p, gw, p, C) -> (B, gh*gw, p*p*C), ordered (kh, kw, in)
+        # to match the conv kernel layout
+        patches = x.reshape(B, gh, p, gw, p, C).transpose(
+            0, 1, 3, 2, 4, 5
+        ).reshape(B, gh * gw, p * p * C)
+        w = kernel.reshape(p * p * C, self.embed_dim).astype(self.dtype)
+        y = jnp.einsum(
+            "bnk,kd->bnd", patches.astype(self.dtype), w,
+            precision=_matmul_precision(self.dtype),
+        )
+        return y + bias.astype(self.dtype)
+
+
+class PatchEmbed(nn.Module):
+    """Image -> patch tokens via strided conv (timm PatchEmbed equivalent).
+
+    ``impl='matmul'`` states the (stride==kernel) conv as unfold+matmul
+    instead (_PatchProj) — identical params and math, different lowering."""
+
+    patch_size: int
+    embed_dim: int
+    dtype: Dtype = jnp.float32
+    impl: str = "conv"
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
         """x: (B, H, W, C) NHWC -> (B, N, D)."""
         p = self.patch_size
+        if self.impl == "matmul":
+            return _PatchProj(
+                p, self.embed_dim, dtype=self.dtype, name="proj"
+            )(x)
         x = nn.Conv(
             self.embed_dim,
             kernel_size=(p, p),
@@ -250,7 +295,12 @@ class Attention(nn.Module):
         x: jax.Array,
         policy: Optional[jax.Array] = None,
         deterministic: bool = True,
+        tap: bool = True,
     ) -> Tuple[jax.Array, jax.Array]:
+        """``tap=False`` marks a block whose rollout map is never consumed
+        (post-prune blocks): the fused block-stats kernel is skipped there
+        — XLA dead-code-eliminates an unused map from the plain paths, but
+        cannot eliminate work from inside a pallas_call."""
         B, N, C = x.shape
         H = self.num_heads
         hd = C // H
@@ -297,6 +347,31 @@ class Attention(nn.Module):
             and deterministic
             and policy is not None
         )
+        if (
+            use_core
+            and tap
+            and isinstance(policy, str)
+            and self.dtype != jnp.float32
+            and len(self.rollout_norm) == 3
+        ):
+            # fully-fused block kernel: eps-softmax attention + head-mean
+            # map + in-VMEM discard bisection + masked row sums in ONE
+            # pallas_call (kernels/attention_core.py::
+            # fused_attention_block_stats). Returns the lazy-rollout triple
+            # directly — downstream skips masked_map_stats entirely.
+            from protopformer_tpu.kernels.attention_core import (
+                fused_attention_block_stats,
+            )
+
+            ratio, _idw, exact = self.rollout_norm
+            out, fmap, t, s = fused_attention_block_stats(
+                qkv_flat, H, ratio, exact, compute_dtype=self.dtype
+            )
+            out = _dense(self.quant, C, self.dtype, prec, "proj")(out)
+            out = nn.Dropout(self.proj_drop)(
+                out, deterministic=deterministic
+            )
+            return out, (fmap, t, s)
         if use_core:
             # lane-aligned fused attention emitting the RAW head-fused map
             # (normalize/bisect stay in XLA via the lazy rollout — measured
@@ -446,6 +521,7 @@ class Block(nn.Module):
         x: jax.Array,
         policy: Optional[jax.Array] = None,
         deterministic: bool = True,
+        tap: bool = True,
     ) -> Tuple[jax.Array, jax.Array]:
         C = x.shape[-1]
         h, attn = Attention(
@@ -458,6 +534,7 @@ class Block(nn.Module):
                          param_dtype=jnp.float32, name="norm1")(x),
             policy,
             deterministic,
+            tap,
         )
         x = x + DropPath(self.drop_path, name="drop_path1")(h, deterministic)
         h = Mlp(

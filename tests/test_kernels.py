@@ -5,90 +5,7 @@ import jax
 import jax.numpy as jnp
 import pytest
 
-from protopformer_tpu.kernels import fused_normalize_attention_map
 from protopformer_tpu.ops.rollout import _fuse_heads, normalize_attention_map
-
-
-@pytest.mark.parametrize("N", [17, 197])
-def test_fused_normalize_matches_jax(rng, N):
-    B, H = 2, 3
-    logits = rng.normal(size=(B, H, N, N)).astype(np.float32)
-    probs = np.exp(logits) / np.exp(logits).sum(-1, keepdims=True)
-    probs = jnp.asarray(probs)
-
-    want = normalize_attention_map(_fuse_heads(probs, "mean"))
-    got = fused_normalize_attention_map(probs, interpret=True)
-    np.testing.assert_allclose(
-        np.asarray(got), np.asarray(want), atol=1e-6
-    )
-
-
-def test_fused_block_matches_flax(rng):
-    """Fused block (f32 compute) vs the Flax Block, including the emitted
-    normalized rollout map."""
-    from flax import linen as nn
-
-    from protopformer_tpu.core.config import BackboneConfig
-    from protopformer_tpu.kernels import fused_deit_block
-    from protopformer_tpu.models.layers import Block
-
-    B, N, C, H = 2, 17, 24, 2
-    x = jnp.asarray(rng.normal(size=(B, N, C)).astype(np.float32))
-    keep = (rng.uniform(size=(B, N)) > 0.4).astype(np.float32)
-    keep[:, 0] = 1.0
-    policy = jnp.asarray(keep)
-
-    block = Block(num_heads=H, drop_path=0.0)
-    params = block.init(jax.random.key(0), x, policy)["params"]
-    want_x, want_attn = block.apply({"params": params}, x, policy, True)
-    want_map = normalize_attention_map(
-        _fuse_heads(want_attn.astype(jnp.float32), "mean")
-    )
-
-    got_x, got_map = fused_deit_block(
-        x, policy, params, num_heads=H, compute_dtype=jnp.float32,
-        interpret=True,
-    )
-    np.testing.assert_allclose(
-        np.asarray(got_x), np.asarray(want_x), atol=2e-5
-    )
-    np.testing.assert_allclose(
-        np.asarray(got_map), np.asarray(want_map), atol=1e-5
-    )
-
-
-def test_fused_serving_matches_model(rng):
-    """Full fused serving forward vs PPNet.apply (f32 path vs bf16 kernels:
-    check agreement of selections and coarse numerics)."""
-    from protopformer_tpu.core.config import BackboneConfig, PPNetConfig
-    from protopformer_tpu.kernels import ppnet_eval_forward
-    from protopformer_tpu.models import construct_ppnet
-
-    bk = BackboneConfig(
-        name="tiny-test", arch="deit", img_size=32, patch_size=8,
-        embed_dim=24, depth=3, num_heads=2, drop_path_rate=0.0,
-        rollout_discard_ratio=0.0, use_pallas="off",
-    )
-    pp = PPNetConfig(
-        prototype_shape=(40, 16, 1, 1), num_classes=4,
-        reserve_layers=(2,), reserve_token_nums=(9,),
-        use_global=True, global_proto_per_class=3,
-    )
-    model = construct_ppnet(bk, pp)
-    x = jnp.asarray(rng.normal(size=(2, 32, 32, 3)).astype(np.float32))
-    params = model.init(jax.random.key(0), x)["params"]
-    want = model.apply({"params": params}, x)
-    got = ppnet_eval_forward(params, x, bk, pp, interpret=True)
-    # bf16 kernels vs f32 reference: selected token SETS must mostly agree
-    # (near-ties may swap at bf16 precision on random init weights)
-    for b in range(2):
-        got_set = set(np.argsort(-np.asarray(got.cls_token_attn))[b, :9])
-        want_set = set(np.argsort(-np.asarray(want.cls_token_attn))[b, :9])
-        assert len(got_set & want_set) >= 8, (got_set, want_set)
-    np.testing.assert_allclose(
-        np.asarray(got.logits), np.asarray(want.logits), atol=0.2, rtol=0.1
-    )
-    assert got.distances.shape == want.distances.shape
 
 
 @pytest.mark.parametrize("ones", [True, False])
@@ -128,21 +45,6 @@ def test_fused_attention_core_matches_jax(rng, ones):
     np.testing.assert_allclose(
         np.asarray(got_map), np.asarray(want_map), atol=1e-6
     )
-
-
-def test_fused_normalize_bf16_input(rng):
-    B, H, N = 2, 3, 33
-    logits = rng.normal(size=(B, H, N, N)).astype(np.float32)
-    probs = jnp.asarray(
-        np.exp(logits) / np.exp(logits).sum(-1, keepdims=True)
-    ).astype(jnp.bfloat16)
-    # model semantics: cast to fp32 BEFORE the head mean (deit.py/cait.py)
-    want = normalize_attention_map(
-        _fuse_heads(probs.astype(jnp.float32), "mean")
-    )
-    got = fused_normalize_attention_map(probs, interpret=True)
-    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-6)
-    np.testing.assert_allclose(np.asarray(got).sum(-1), 1.0, atol=1e-5)
 
 
 @pytest.mark.parametrize("ones", [True, False])
@@ -237,3 +139,92 @@ def test_fused_map_stats_padded_keep_elements(rng):
         np.asarray(got_s), np.asarray(want_s), atol=1e-6
     )
     assert float(np.asarray(got_t).min()) > 0.0  # pads stay below threshold
+
+
+@pytest.mark.parametrize("exact", [True, False])
+def test_fused_attention_block_stats_contract(rng, exact):
+    """Interpret-mode checks of the fully-fused block-stats kernel:
+
+    1. (t, s) EXACTLY equal ``masked_map_stats(map)`` on the emitted map —
+       the lazy-rollout contract the downstream consumer relies on;
+    2. out/map match a plain-JAX replication of the kernel's documented
+       numerics (bf16 eps-softmax, fp32-accumulated head mean) within bf16
+       tolerance.
+    """
+    from protopformer_tpu.kernels.attention_core import (
+        fused_attention_block_stats,
+    )
+    from protopformer_tpu.ops.masking import eps_softmax
+    from protopformer_tpu.ops.rollout import masked_map_stats
+
+    B, N, C, H = 4, 24, 16, 2
+    hd = C // H
+    qkv = jnp.asarray(
+        rng.normal(size=(B, N, 3 * C)).astype(np.float32)
+    ).astype(jnp.bfloat16)
+
+    got_out, got_map, got_t, got_s = fused_attention_block_stats(
+        qkv, H, 0.9, exact_discard=exact, interpret=True
+    )
+    map_dtype = jnp.float32 if exact else jnp.bfloat16
+    assert got_map.dtype == map_dtype
+
+    # (1) the stats are EXACTLY what masked_map_stats computes on the map
+    want_t, want_s = masked_map_stats(got_map, 0.9, exact_discard=exact)
+    np.testing.assert_array_equal(
+        np.asarray(got_t, np.float32), np.asarray(want_t, np.float32)
+    )
+    np.testing.assert_allclose(
+        np.asarray(got_s), np.asarray(want_s), atol=1e-6
+    )
+
+    # (2) plain-JAX replication (fp32-accumulated dots as the kernel does)
+    acc = jnp.zeros((B, N, N), jnp.float32)
+    outs = []
+    for h in range(H):
+        q = qkv[:, :, h * hd:(h + 1) * hd]
+        k = qkv[:, :, C + h * hd:C + (h + 1) * hd]
+        v = qkv[:, :, 2 * C + h * hd:2 * C + (h + 1) * hd]
+        logits = jax.lax.dot_general(
+            q, k, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ).astype(jnp.bfloat16) * (hd ** -0.5)
+        probs = eps_softmax(logits)
+        acc = acc + probs.astype(jnp.float32) * (1.0 / H)
+        outs.append(
+            jax.lax.dot_general(
+                probs, v, (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            ).astype(jnp.bfloat16)
+        )
+    np.testing.assert_allclose(
+        np.asarray(got_map, np.float32),
+        np.asarray(acc.astype(map_dtype), np.float32),
+        atol=1e-2,
+    )
+    np.testing.assert_allclose(
+        np.asarray(got_out, np.float32),
+        np.asarray(jnp.concatenate(outs, -1), np.float32),
+        atol=5e-2,
+    )
+
+
+def test_patch_embed_matmul_matches_conv(rng):
+    """The unfold+matmul patch projection is param-tree identical to the
+    strided conv (same 'proj/kernel' + 'proj/bias' shapes) and numerically
+    equal in fp32."""
+    from protopformer_tpu.models.layers import PatchEmbed
+
+    x = jnp.asarray(rng.normal(size=(2, 32, 32, 3)).astype(np.float32))
+    conv = PatchEmbed(8, 24, dtype=jnp.float32, impl="conv")
+    mm = PatchEmbed(8, 24, dtype=jnp.float32, impl="matmul")
+    params = conv.init(jax.random.key(0), x)["params"]
+    shapes = jax.tree.map(lambda a: a.shape, params)
+    assert shapes == jax.tree.map(
+        lambda a: a.shape, mm.init(jax.random.key(0), x)["params"]
+    )
+    want = conv.apply({"params": params}, x)
+    got = mm.apply({"params": params}, x)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), atol=2e-5
+    )

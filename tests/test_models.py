@@ -98,23 +98,6 @@ def test_ppnet_over_cait(images):
     assert tout.original_fea_len == 16
 
 
-def test_ppnet_eval_forward_contract(images):
-    model = construct_ppnet(TINY_DEIT, TINY_PPNET)
-    params = model.init(jax.random.key(0), images)["params"]
-    out = jax.jit(lambda x: model.apply({"params": params}, x))(images)
-    assert isinstance(out, EvalOutput)
-    assert out.logits.shape == (2, 4)
-    assert out.cls_token_attn.shape == (2, 16)
-    assert out.distances.shape == (2, 40, 3, 3)
-    assert out.logits_global.shape == (2, 4)
-    assert out.logits_local.shape == (2, 4)
-    # fusion: logits = coe*global + (1-coe)*local (ref: protopformer.py:300)
-    fused = 0.5 * out.logits_global + 0.5 * out.logits_local
-    np.testing.assert_allclose(
-        np.asarray(out.logits), np.asarray(fused), atol=1e-6
-    )
-
-
 def test_ppnet_train_forward_contract(images):
     model = construct_ppnet(TINY_DEIT, TINY_PPNET)
     params = model.init(jax.random.key(0), images)["params"]
@@ -317,3 +300,46 @@ def test_backbone_config_rejects_unknown_mode_strings():
     # all documented values construct fine
     for impl in ("headloop", "batched", "headdense", "einsum"):
         dataclasses.replace(TINY_DEIT, attn_impl=impl)
+
+
+@pytest.mark.parametrize("exact", [False, True])
+def test_deit_masked_forward_fused_block_stats(images, exact):
+    """``use_pallas='on'`` + bf16 compute routes pre-prune blocks through
+    the fully-fused block-stats kernel; ``masked_forward`` consumes the
+    (map, t, s) triple directly. Selections and outputs must agree with the
+    XLA bf16 path (identical params)."""
+    import dataclasses
+    from jax.experimental.pallas import tpu as pltpu
+
+    cfg_off = dataclasses.replace(
+        TINY_DEIT, drop_path_rate=0.0, use_pallas="off",
+        rollout_exact_discard=exact,
+    )
+    cfg_on = dataclasses.replace(cfg_off, use_pallas="on")
+
+    def run(cfg, x):
+        model = DeiTBackbone(cfg, compute_dtype=jnp.bfloat16)
+        params = model.init(jax.random.key(0), x)["params"]
+        return model.apply(
+            {"params": params}, x,
+            method=lambda m, x: m.masked_forward(
+                *m.embed_all(x), [(2, 9)]
+            ),
+        )
+
+    want_x, want_attn = run(cfg_off, images)
+    with pltpu.force_tpu_interpret_mode():
+        got_x, got_attn = run(cfg_on, images)
+
+    assert got_x.shape == want_x.shape == (2, 17, 24)
+    assert np.isfinite(np.asarray(got_x, np.float32)).all()
+    # the kernel accumulates the head mean in fp32 (XLA headloop: storage
+    # dtype) — near-ties may swap, but the selected token SETS must agree
+    for b in range(2):
+        got_set = set(np.argsort(-np.asarray(got_attn, np.float32))[b, :9])
+        want_set = set(np.argsort(-np.asarray(want_attn, np.float32))[b, :9])
+        assert len(got_set & want_set) >= 8, (got_set, want_set)
+    np.testing.assert_allclose(
+        np.asarray(got_x, np.float32), np.asarray(want_x, np.float32),
+        atol=0.15,
+    )
