@@ -102,8 +102,18 @@ def consistency_score(
     ppnet_cfg,
     cfg: Optional[ConsistencyConfig] = None,
     logger=None,
+    mesh=None,
+    host_workers: int = 0,
 ) -> float:
     """Consistency Score over a test loader (ref: :190-337).
+
+    The device and host halves are pipelined one batch deep: push_forward
+    for batch k+1 is dispatched (async under jit) BEFORE batch k's outputs
+    are fetched and matched, so the TPU never idles on the O(15) numpy
+    work. With ``host_workers > 0`` the per-image box/part matching
+    additionally fans out over a thread pool (cv2 releases the GIL in
+    resize). Both knobs are bit-neutral: every image's (hits, visible)
+    contribution is an independent additive term.
 
     Args:
       loader: yields batches with 'image' ([0,1] floats from the SQUARE
@@ -113,11 +123,17 @@ def consistency_score(
         are skipped).
       image_ids: dataset-native CUB ids aligned with loader order.
       image_sizes: id -> (width, height) of the ORIGINAL image.
+      mesh: optional 1-D data mesh — push_forward shards the batch across
+        its ``data`` axis with replicated params (BASELINE config #5 runs
+        full-CUB bs=256 on the pod slice; the reference shards with DDP +
+        concat, eval_interpretability.py:190-206).
+      host_workers: thread-pool width for the host matching (0 = inline).
     """
+    import concurrent.futures as cf
+
     cfg = cfg or ConsistencyConfig()
     ppc = ppnet_cfg.num_prototypes_per_class
     P = ppnet_cfg.num_prototypes
-    num_classes = ppnet_cfg.num_classes
 
     # on-device ImageNet normalize of the [0,1] host batch (the reference
     # normalizes inside its eval transform — eval_interpretability.py:170-176)
@@ -127,14 +143,32 @@ def consistency_score(
             method=lambda m, x: m.push_forward(x),
         )
     )
+    if mesh is not None:
+        from protopformer_tpu.parallel.mesh import (
+            batch_sharding,
+            replicated_sharding,
+        )
+
+        params = jax.device_put(params, replicated_sharding(mesh))
+        _shard = batch_sharding(mesh)
+
+        def dispatch(images):
+            return push(params, jax.device_put(images, _shard))
+    else:
+        def dispatch(images):
+            return push(params, images)
 
     # per-prototype accumulators
     hit_sum = np.zeros((P, cfg.num_parts), np.float64)
     vis_sum = np.zeros((P, cfg.num_parts), np.float64)
-
+    pool = (
+        cf.ThreadPoolExecutor(host_workers) if host_workers > 0 else None
+    )
+    pending: List[Tuple[int, "cf.Future"]] = []
     seen = 0
-    for batch in loader:
-        out = push(params, batch["image"])
+
+    def match_batch(out, batch):
+        nonlocal seen
         cls_attn = np.asarray(out.cls_token_attn)
         acts = np.asarray(out.proto_acts)  # (B, P, k, k)
         labels = np.asarray(batch["label"])
@@ -157,19 +191,36 @@ def consistency_score(
             if img_id not in annotations.id_to_part_loc:
                 continue
             w, h = image_sizes[img_id]
-            hits, vis = part_hits_for_image(
-                grid[b],
-                annotations.id_to_part_loc[img_id],
-                w,
-                h,
-                cfg,
+            args = (
+                grid[b], annotations.id_to_part_loc[img_id], w, h, cfg
             )
-            base = labels[b] * ppc
-            hit_sum[base:base + ppc] += hits
-            vis_sum[base:base + ppc] += vis[None, :]
+            base = int(labels[b]) * ppc
+            if pool is not None:
+                pending.append((base, pool.submit(part_hits_for_image, *args)))
+            else:
+                hits, vis = part_hits_for_image(*args)
+                hit_sum[base:base + ppc] += hits
+                vis_sum[base:base + ppc] += vis[None, :]
             seen += 1
         if logger is not None and seen % 500 < B:
             logger.info(f"consistency eval: {seen} images")
+
+    # one-deep pipeline: dispatch k+1, then fetch/match k
+    inflight = None
+    for batch in loader:
+        out = dispatch(batch["image"])
+        if inflight is not None:
+            match_batch(*inflight)
+        inflight = (out, batch)
+    if inflight is not None:
+        match_batch(*inflight)
+
+    if pool is not None:
+        for base, fut in pending:
+            hits, vis = fut.result()
+            hit_sum[base:base + ppc] += hits
+            vis_sum[base:base + ppc] += vis[None, :]
+        pool.shutdown()
 
     score = aggregate_score(hit_sum, vis_sum, cfg.part_thresh)
     if logger is not None:

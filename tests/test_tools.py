@@ -275,3 +275,51 @@ def test_consistency_score_synthetic(rng):
     )
     # a 32x32 box at any argmax of a 32px image always contains the center
     assert score >= 50.0  # every evaluated prototype hits; unseen ones don't
+
+
+def test_consistency_score_mesh_and_workers_bit_neutral(rng):
+    """The scaled path (data-mesh push_forward + thread-pool matching +
+    one-deep device/host pipeline) must produce the IDENTICAL score to the
+    inline single-device loop — every image's contribution is an
+    independent additive term."""
+    from protopformer_tpu.parallel.mesh import make_mesh
+
+    model = construct_ppnet(BK, PP)
+    images = jnp.asarray(rng.normal(size=(16, 32, 32, 3)).astype(np.float32))
+    params = model.init(jax.random.key(0), images[:1])["params"]
+
+    ids = np.arange(1, 17)
+    rs = np.random.default_rng(7)
+    annotations = CubPartAnnotations(
+        id_to_path={i: f"img{i}.jpg" for i in ids},
+        id_to_bbox={i: (0.0, 0.0, 64.0, 64.0) for i in ids},
+        id_to_part_loc={
+            i: [
+                (int(p) + 1, float(rs.integers(0, 64)),
+                 float(rs.integers(0, 64)))
+                for p in rs.choice(15, size=rs.integers(2, 6), replace=False)
+            ]
+            for i in ids
+        },
+    )
+    image_sizes = {i: (64, 64) for i in ids}
+    labels = np.asarray([0, 1, 2, 3] * 4)
+
+    def loader():
+        for s in range(0, 16, 8):
+            yield {
+                "image": images[s:s + 8],
+                "label": labels[s:s + 8],
+                "valid": np.ones(8, np.float32),
+                "position": np.arange(s, s + 8),
+            }
+
+    ccfg = ConsistencyConfig(half_size=16, img_size=32, part_thresh=0.8)
+    want = consistency_score(
+        model, params, loader(), annotations, ids, image_sizes, PP, ccfg
+    )
+    got = consistency_score(
+        model, params, loader(), annotations, ids, image_sizes, PP, ccfg,
+        mesh=make_mesh(), host_workers=4,
+    )
+    assert got == want
