@@ -94,6 +94,10 @@ class BackboneConfig:
     # (unfold + one MXU dot — same params/math, see layers._PatchProj);
     # the faster one is re-measured in the bench ablations
     patch_embed: str = "conv"
+    # LayerNorm statistics dtype: 'fp32' (flax default, parity) or
+    # 'compute' (speed-mode ablation: stats in the compute dtype —
+    # layers.FastLayerNorm; ignored in fp32 compute)
+    ln_stats: str = "fp32"
 
     def __post_init__(self):
         # a typo'd mode string must error, not silently change the lowering
@@ -105,6 +109,7 @@ class BackboneConfig:
             "quantize": (self.quantize, ("off", "int8")),
             "prune_gather": (self.prune_gather, ("on", "off", "auto")),
             "patch_embed": (self.patch_embed, ("conv", "matmul")),
+            "ln_stats": (self.ln_stats, ("fp32", "compute")),
             "rollout_head_fusion": (self.rollout_head_fusion,
                                     ("mean", "max", "min")),
         }

@@ -138,6 +138,7 @@ class DeiTBackbone(nn.Module):
                 # once at storage (deeper bf16 accumulation measured ~free
                 # but cost one token of the selection contract: 73/81)
                 map_dtype=jnp.float32,
+                ln_stats=cfg.ln_stats,
                 name=f"blocks_{i}",
             )
             for i in range(depth)

@@ -17,6 +17,10 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from protopformer_tpu.utils.cache import enable_compilation_cache
+
+enable_compilation_cache()
+
 from protopformer_tpu.core.config import PPNetConfig, backbone_preset
 from protopformer_tpu.models import construct_ppnet
 from protopformer_tpu.data.preprocess import (

@@ -191,3 +191,29 @@ def test_fold_normalization_uint8_input(images, params):
     np.testing.assert_allclose(
         np.asarray(got.logits), np.asarray(ref.logits), rtol=0, atol=1e-4
     )
+
+
+def test_fast_layernorm_contract(rng=np.random.default_rng(11)):
+    """FastLayerNorm (compute-dtype stats, speed-mode ablation): param tree
+    identical to nn.LayerNorm, deviation bounded by a few bf16 ULPs on
+    transformer-scale activations."""
+    from flax import linen as nn
+
+    from protopformer_tpu.models.layers import FastLayerNorm
+
+    x = jnp.asarray(rng.normal(size=(32, 197, 192)).astype(np.float32) * 2)
+    ref = nn.LayerNorm(1e-6, dtype=jnp.bfloat16, param_dtype=jnp.float32)
+    params = ref.init(jax.random.key(0), x)["params"]
+    fast = FastLayerNorm(1e-6, dtype=jnp.bfloat16)
+    assert (
+        jax.tree.map(lambda a: a.shape, params)
+        == jax.tree.map(
+            lambda a: a.shape, fast.init(jax.random.key(0), x)["params"]
+        )
+    )
+    a = np.asarray(ref.apply({"params": params}, x), np.float32)
+    b = np.asarray(fast.apply({"params": params}, x), np.float32)
+    # bf16 stats cost ~2-3 mantissa bits on the C=192 reduction; outputs
+    # are unit-scale so the absolute bound is a few bf16 ULPs
+    assert np.abs(a - b).max() < 0.08, np.abs(a - b).max()
+    assert np.sqrt(((a - b) ** 2).mean()) < 0.008
