@@ -46,6 +46,10 @@ class DatasetIndex:
     image_ids: Optional[np.ndarray] = None  # dataset-native ids (CUB)
     # synthetic datasets carry the images inline instead of paths:
     images: Optional[np.ndarray] = None  # (N, H, W, 3) uint8
+    # per-sample (xmin, ymin, xmax, ymax) PIL crop boxes applied at load
+    # time (Dogs cropped=True mode — one SAMPLE per annotated box, matching
+    # the reference's flattened breed_annotations, tools/datasets.py:695-701)
+    crop_boxes: Optional[np.ndarray] = None  # (N, 4) int32
 
     def __len__(self) -> int:
         return len(self.labels)
@@ -132,16 +136,43 @@ def build_stanford_cars_index(root: str, train: bool) -> DatasetIndex:
     )
 
 
-def build_stanford_dogs_index(root: str, train: bool) -> DatasetIndex:
-    """Stanford Dogs from the split .mat lists (ref: tools/datasets.py:662-907)."""
+def build_stanford_dogs_index(
+    root: str, train: bool, cropped: bool = False
+) -> DatasetIndex:
+    """Stanford Dogs from the split .mat lists (ref: tools/datasets.py:662-907).
+
+    ``cropped=True`` replicates the reference's XML-bbox mode
+    (tools/datasets.py:695-701, 844-845, 873-882): every <object> bndbox in
+    ``Annotation/<file>`` becomes its OWN sample (multi-dog images
+    duplicate), and the loader crops the box before the transform. The
+    reference's own pipeline always calls ``cropped=False``
+    (tools/datasets.py:101,146,194); the mode is carried for dataset-class
+    parity."""
     from scipy.io import loadmat
 
     mat = loadmat(os.path.join(root, "train_list.mat" if train else "test_list.mat"))
     files = [str(f[0][0]) for f in mat["file_list"]]
     labels = (mat["labels"].reshape(-1).astype(np.int32) - 1)
+    if not cropped:
+        return DatasetIndex(
+            paths=[os.path.join(root, "Images", f) for f in files],
+            labels=labels, num_classes=120,
+        )
+    import xml.etree.ElementTree as ET
+
+    paths, lab, boxes = [], [], []
+    for f, y in zip(files, labels):
+        ann = os.path.join(root, "Annotation", os.path.splitext(f)[0])
+        e = ET.parse(ann).getroot()
+        for objs in e.iter("object"):
+            bb = objs.find("bndbox")
+            boxes.append([int(bb.find(k).text)
+                          for k in ("xmin", "ymin", "xmax", "ymax")])
+            paths.append(os.path.join(root, "Images", f))
+            lab.append(y)
     return DatasetIndex(
-        paths=[os.path.join(root, "Images", f) for f in files],
-        labels=labels, num_classes=120,
+        paths=paths, labels=np.asarray(lab, np.int32), num_classes=120,
+        crop_boxes=np.asarray(boxes, np.int32),
     )
 
 
@@ -289,7 +320,7 @@ def build_dataset_index(
     if data_set in ("Car", "Cars"):
         return build_stanford_cars_index(data_path, train)
     if data_set == "Dogs":
-        return build_stanford_dogs_index(data_path, train)
+        return build_stanford_dogs_index(data_path, train, **kw)
     if data_set == "Aircraft":
         return build_aircraft_index(data_path, train)
     if data_set == "ImageFolder":

@@ -35,7 +35,12 @@ def _load_image(index: DatasetIndex, i: int):
     from PIL import Image
 
     with Image.open(index.paths[i]) as im:
-        return im.convert("RGB")
+        im = im.convert("RGB")
+    if index.crop_boxes is not None:
+        # Dogs cropped=True: bbox crop BEFORE the transform
+        # (ref: tools/datasets.py:844-845)
+        im = im.crop(tuple(int(v) for v in index.crop_boxes[i]))
+    return im
 
 
 class HostDataLoader:
@@ -100,7 +105,11 @@ class HostDataLoader:
         def one(args):
             pos, i = args
             rng = np.random.default_rng((self.seed, self.epoch, int(i)))
-            if self.path_transform is not None and self.index.images is None:
+            if (
+                self.path_transform is not None
+                and self.index.images is None
+                and self.index.crop_boxes is None
+            ):
                 try:
                     return pos, self.path_transform(
                         self.index.paths[int(i)], rng

@@ -282,3 +282,51 @@ def test_cub_cropped_index(tmp_path):
     test = build_cub_cropped_index(str(tmp_path), train=False)
     assert len(train) == 6 and len(test) == 4
     assert train.num_classes == 2
+
+
+def test_stanford_dogs_cropped_index(tmp_path):
+    """cropped=True: one sample PER annotated bndbox (reference flattens
+    multi-dog images into per-box samples, tools/datasets.py:695-701) and
+    the loader crops the box before the transform (:844-845)."""
+    from PIL import Image
+    from scipy.io import savemat
+
+    from protopformer_tpu.data.datasets import build_stanford_dogs_index
+    from protopformer_tpu.data.loader import HostDataLoader
+
+    breed = "n02085620-Chihuahua"
+    (tmp_path / "Images" / breed).mkdir(parents=True)
+    (tmp_path / "Annotation" / breed).mkdir(parents=True)
+    # image with distinct quadrants so the crop is pixel-checkable
+    arr = np.zeros((40, 40, 3), np.uint8)
+    arr[:20, :20] = 255  # top-left white
+    arr[20:, 20:] = 128
+    Image.fromarray(arr).save(tmp_path / "Images" / breed / "img1.jpg",
+                              quality=100, subsampling=0)
+
+    def obj(x0, y0, x1, y1):
+        return (f"<object><bndbox><xmin>{x0}</xmin><ymin>{y0}</ymin>"
+                f"<xmax>{x1}</xmax><ymax>{y1}</ymax></bndbox></object>")
+
+    (tmp_path / "Annotation" / breed / "img1").write_text(
+        f"<annotation>{obj(0, 0, 20, 20)}{obj(20, 20, 40, 40)}</annotation>"
+    )
+    files = np.empty((1, 1), dtype=object)
+    files[0, 0] = np.array([f"{breed}/img1.jpg"])
+    savemat(str(tmp_path / "train_list.mat"),
+            {"file_list": files, "labels": np.array([[1]])})
+
+    idx = build_stanford_dogs_index(str(tmp_path), train=True, cropped=True)
+    assert len(idx) == 2  # two boxes -> two samples of the same image
+    assert idx.labels.tolist() == [0, 0]
+    assert idx.crop_boxes.tolist() == [[0, 0, 20, 20], [20, 20, 40, 40]]
+
+    loader = HostDataLoader(
+        idx, lambda im, rng: np.asarray(im, np.float32) / 255.0,
+        batch_size=2, shuffle=False, num_workers=1,
+    )
+    batch = next(iter(loader))
+    assert batch["image"].shape == (2, 20, 20, 3)
+    # sample 0 = white top-left crop; sample 1 = gray bottom-right crop
+    assert batch["image"][0].mean() > 0.9
+    assert abs(batch["image"][1].mean() - 128 / 255) < 0.05
