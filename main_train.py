@@ -86,6 +86,13 @@ def get_args_parser() -> argparse.ArgumentParser:
                    default=0.1)
     p.add_argument("--cooldown-epochs", dest="cooldown_epochs", type=int,
                    default=10)
+    # timm schedule noise (ref: main.py:110-114; unused by the presets)
+    p.add_argument("--lr-noise", dest="lr_noise", type=float, nargs="+",
+                   default=None)
+    p.add_argument("--lr-noise-pct", dest="lr_noise_pct", type=float,
+                   default=0.67)
+    p.add_argument("--lr-noise-std", dest="lr_noise_std", type=float,
+                   default=1.0)
     # augmentation (ref: main.py:132-171)
     p.add_argument("--color-jitter", dest="color_jitter", type=float,
                    default=0.4)
@@ -190,6 +197,10 @@ def config_from_args(args) -> "ExperimentConfig":
         cooldown_epochs=args.cooldown_epochs,
         model_ema=args.model_ema,
         model_ema_decay=args.model_ema_decay,
+        lr_noise=None if args.lr_noise is None else tuple(args.lr_noise),
+        lr_noise_pct=args.lr_noise_pct,
+        lr_noise_std=args.lr_noise_std,
+        noise_seed=args.seed,
     )
     data = DataConfig(
         data_set=args.data_set,

@@ -278,6 +278,17 @@ class OptimConfig:
     cooldown_epochs: int = 10
     model_ema: bool = True
     model_ema_decay: float = 0.99996
+    # timm LR-noise options (ref: main.py:110-114, create_scheduler.py:7-16;
+    # unused by every reference preset — carried for scheduler parity).
+    # lr_noise: epoch fractions — one value = noise from that epoch on,
+    # two = [start, end) window (timm noise_range_t semantics).
+    lr_noise: Optional[Tuple[float, ...]] = None
+    lr_noise_pct: float = 0.67
+    lr_noise_std: float = 1.0
+    # the reference seeds the noise with the TRAIN seed (create_scheduler.py:31)
+    noise_seed: int = 42
+    # timm cycle_limit (create_scheduler.py:26 getattr default 1)
+    lr_cycle_limit: int = 1
 
 
 @dataclass(frozen=True)

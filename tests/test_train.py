@@ -318,3 +318,57 @@ def test_train_one_epoch_batched_sync_aborts_on_nonfinite():
     )
     assert it == 13 and len(calls) == 13
     assert stats["loss"] == 2.0
+
+
+def test_lr_noise_matches_timm_algorithm():
+    """timm schedule-noise parity: the per-epoch noise table must replicate
+    timm Scheduler._add_noise exactly — torch.Generator(seed + t), rejected
+    normal draw, applied multiplicatively, only inside the noise window
+    (ref: create_scheduler.py:7-16,28-31)."""
+    import torch
+
+    from protopformer_tpu.train.scheduler import (
+        cosine_epoch_schedule,
+        timm_noise_table,
+    )
+
+    epochs, seed, pct, std = 20, 1028, 0.67, 1.0
+    # window [0.5, 0.8) of total epochs, timm list semantics
+    table = timm_noise_table(epochs, [0.5 * epochs, 0.8 * epochs],
+                             pct, std, seed)
+    for t in range(epochs):
+        if 10 <= t < 16:
+            g = torch.Generator()
+            g.manual_seed(seed + t)
+            while True:
+                want = torch.randn(1, generator=g).item() * std
+                if abs(want) < pct:
+                    break
+            assert table[t] == np.float32(want), t
+            assert abs(table[t]) < pct
+        else:
+            assert table[t] == 0.0, t
+
+    # applied multiplicatively to the staircase lr
+    base = cosine_epoch_schedule(1e-3, epochs, 0, 1e-6, 1e-5, 10)
+    noisy = cosine_epoch_schedule(1e-3, epochs, 0, 1e-6, 1e-5, 10,
+                                  noise=table)
+    for t in (5, 12, 18):
+        lr0 = float(base(jnp.asarray(t * 10)))
+        lr1 = float(noisy(jnp.asarray(t * 10)))
+        np.testing.assert_allclose(lr1, lr0 * (1.0 + table[t]), rtol=1e-6)
+
+
+def test_cosine_cycle_limit():
+    """cycle_limit > 1 restarts the cosine per cycle and parks at min_lr
+    after the last cycle (timm CosineLRScheduler cycle arithmetic)."""
+    from protopformer_tpu.train.scheduler import cosine_epoch_schedule
+
+    sched = cosine_epoch_schedule(1e-3, 10, 0, 1e-6, 1e-5, 1, cycle_limit=2)
+    # epoch 10 = start of cycle 2 -> back at base lr
+    np.testing.assert_allclose(float(sched(jnp.asarray(10))), 1e-3, rtol=1e-5)
+    # beyond 2 cycles -> min_lr
+    np.testing.assert_allclose(float(sched(jnp.asarray(20))), 1e-5, rtol=1e-6)
+    # single-cycle default unchanged: epoch >= epochs -> min_lr
+    one = cosine_epoch_schedule(1e-3, 10, 0, 1e-6, 1e-5, 1)
+    np.testing.assert_allclose(float(one(jnp.asarray(15))), 1e-5, rtol=1e-6)
