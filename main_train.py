@@ -262,10 +262,13 @@ def main(args) -> dict:
     cfg = config_from_args(args)
     # fail fast on an unusable --resume before minutes of init/compile
     if cfg.train.resume and cfg.train.resume not in ("latest", "true", "1") \
-            and not os.path.isdir(cfg.train.resume):
+            and not cfg.train.resume.startswith(("http://", "https://")) \
+            and not os.path.isdir(cfg.train.resume) \
+            and not os.path.isfile(cfg.train.resume):
         raise FileNotFoundError(
-            f"--resume={cfg.train.resume!r} is not a checkpoint directory "
-            f"(expected an Orbax root or a <root>/<epoch> step dir)"
+            f"--resume={cfg.train.resume!r} is not a checkpoint directory, "
+            f".pth file, or URL (expected an Orbax root, a <root>/<epoch> "
+            f"step dir, a torch checkpoint, or http(s)://)"
         )
     out_dir = cfg.train.output_dir
     logger = get_logger("train", os.path.join(out_dir, "train-logs"))
@@ -375,24 +378,71 @@ def main(args) -> dict:
         # literal "latest" for this run's own output_dir.
         resume = cfg.train.resume
         epoch_arg = None
-        if os.path.isdir(resume):
-            base = os.path.basename(os.path.normpath(resume))
-            if base.isdigit():
-                epoch_arg = int(base)
-                resume_mgr = CheckpointManager(os.path.dirname(
-                    os.path.normpath(resume)))
-            else:
-                resume_mgr = CheckpointManager(resume)
-        elif resume in ("latest", "true", "1"):
-            resume_mgr = ckpt_mgr
-        else:
-            raise FileNotFoundError(
-                f"--resume={resume!r} is not a checkpoint directory "
-                f"(expected an Orbax root or a <root>/<epoch> step dir)"
+        if resume.startswith(("http://", "https://")):
+            # URL checkpoints (ref: main.py:394-396
+            # torch.hub.load_state_dict_from_url): download once into a
+            # local cache, then ingest as a reference .pth below
+            import urllib.request
+
+            cache = os.path.join(
+                os.path.expanduser("~"), ".cache", "protopformer_tpu"
             )
-        state, meta = resume_mgr.restore(state, epoch=epoch_arg)
-        start_epoch = int(meta.get("epoch", -1)) + 1
-        logger.info(f"resumed from epoch {start_epoch - 1} ({resume})")
+            os.makedirs(cache, exist_ok=True)
+            local = os.path.join(cache, os.path.basename(resume) or "ckpt.pth")
+            if not os.path.isfile(local):
+                logger.info(f"downloading --resume checkpoint {resume}")
+                urllib.request.urlretrieve(resume, local)
+            resume = local
+        if os.path.isfile(resume):
+            # reference-side torch checkpoint file (ref: main.py:397-407):
+            # restore the MODEL via the converter; torch optimizer moments
+            # do not map onto the optax tree, so optimization restarts
+            import torch as _torch
+
+            from protopformer_tpu.checkpoint.torch_convert import (
+                convert_ppnet_state_dict,
+            )
+
+            ckpt = _torch.load(resume, map_location="cpu",
+                               weights_only=False)
+            sd = ckpt.get("model", ckpt) if isinstance(ckpt, dict) else ckpt
+            sd = {k: v for k, v in sd.items()}
+            new_params = convert_ppnet_state_dict(
+                sd, cfg.backbone.arch, cfg.backbone.depth,
+                depth_token_only=cfg.backbone.depth_token_only,
+                use_global=cfg.ppnet.use_global,
+            )
+            state = state.replace(params=jax.device_put(
+                new_params, jax.tree_util.tree_leaves(state.params)[0].sharding
+            ))
+            if isinstance(ckpt, dict) and "epoch" in ckpt:
+                start_epoch = int(ckpt["epoch"]) + 1
+            logger.warning(
+                "resumed MODEL weights from torch checkpoint "
+                f"{cfg.train.resume}; optimizer/EMA state restarts "
+                "(torch moments do not map onto the optax tree)"
+            )
+        else:
+            if os.path.isdir(resume):
+                base = os.path.basename(os.path.normpath(resume))
+                if base.isdigit():
+                    epoch_arg = int(base)
+                    resume_mgr = CheckpointManager(os.path.dirname(
+                        os.path.normpath(resume)))
+                else:
+                    resume_mgr = CheckpointManager(resume)
+            elif resume in ("latest", "true", "1"):
+                resume_mgr = ckpt_mgr
+            else:
+                raise FileNotFoundError(
+                    f"--resume={resume!r} is not a checkpoint directory, "
+                    f".pth file, or URL (expected an Orbax root, a "
+                    f"<root>/<epoch> step dir, a torch checkpoint, or "
+                    f"http(s)://)"
+                )
+            state, meta = resume_mgr.restore(state, epoch=epoch_arg)
+            start_epoch = int(meta.get("epoch", -1)) + 1
+            logger.info(f"resumed from epoch {start_epoch - 1} ({resume})")
 
     if cfg.train.eval_only:
         eval_params = (
