@@ -33,6 +33,11 @@ def get_args():
                    default=list(range(10)))
     p.add_argument("--imgs_per_class", type=int, default=20)
     p.add_argument("--use_gauss", action="store_true")
+    p.add_argument("--use_train_imgs", action="store_true",
+                   help="visualize over the TRAIN split (the reference "
+                        "hardcodes use_train_imgs=False at "
+                        "main_visualize.py:297; exposed here as a flag "
+                        "with the same default)")
     p.add_argument("--visual_type", type=str, default="heatmap",
                    choices=["heatmap", "slim_gaussian"],
                    help="reference default 'heatmap' writes only the "
@@ -81,8 +86,11 @@ def main():
     )["params"]
     params = load_params(args.resume, template)
 
-    # paired normalized + raw-view loaders (ref: main_visualize.py:223-267)
-    index = build_dataset_index(args.data_set, args.data_path, train=False)
+    # paired normalized + raw-view loaders (ref: main_visualize.py:223-267;
+    # split switch ref: :297-299)
+    index = build_dataset_index(
+        args.data_set, args.data_path, train=args.use_train_imgs
+    )
     eval_tf = build_eval_transform(backbone.img_size)
     view_tf = build_view_transform(backbone.img_size)
     loader = HostDataLoader(index, eval_tf, args.batch_size, shuffle=False,
