@@ -229,8 +229,17 @@ def test_deit_tiny_real_scale_parity():
     np.testing.assert_allclose(np.asarray(got_t), t.numpy(), atol=2e-4)
 
 
-@pytest.mark.parametrize("exact_discard", [True, False])
-def test_deit_tiny_bf16_speed_mode_selection_contract(exact_discard):
+@pytest.mark.parametrize("exact_discard,ln_stats,min_overlap,min_rank", [
+    (True, "fp32", 74, 64),
+    (False, "fp32", 74, 64),
+    # FastLayerNorm (compute-dtype stats) perturbs slightly more: measured
+    # 78-79/81 with drops at fp32 rank >= 61 on this fixture; bounds leave
+    # margin for backend-numerics drift
+    (False, "compute", 73, 55),
+])
+def test_deit_tiny_bf16_speed_mode_selection_contract(
+    exact_discard, ln_stats, min_overlap, min_rank
+):
     """Quantified selection contract for the SHIPPED bench configuration
     (compute_dtype=bfloat16 — bench.py, script presets) at production shape.
 
@@ -257,7 +266,7 @@ def test_deit_tiny_bf16_speed_mode_selection_contract(exact_discard):
         BackboneConfig(
             name="deit_tiny_patch16_224", arch="deit",
             embed_dim=192, depth=12, num_heads=3, drop_path_rate=0.0,
-            rollout_exact_discard=exact_discard,
+            rollout_exact_discard=exact_discard, ln_stats=ln_stats,
         ),
         compute_dtype=jnp.bfloat16,
     )
@@ -278,10 +287,10 @@ def test_deit_tiny_bf16_speed_mode_selection_contract(exact_discard):
         want = set(fp32_order[b, :81])
         got = set(ji[b])
         overlap = len(want & got)
-        assert overlap >= 74, f"sample {b}: only {overlap}/81 overlap"
+        assert overlap >= min_overlap, f"sample {b}: only {overlap}/81 overlap"
         rank_of = {tok: r for r, tok in enumerate(fp32_order[b])}
         dropped_ranks = sorted(rank_of[t] for t in want - got)
-        assert all(r >= 64 for r in dropped_ranks), (
+        assert all(r >= min_rank for r in dropped_ranks), (
             f"sample {b}: bf16 dropped a confident token "
             f"(fp32 ranks {dropped_ranks})"
         )
