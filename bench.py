@@ -19,7 +19,7 @@ import jax.numpy as jnp
 A100_BASELINE_IMG_PER_SEC = 5000.0
 
 
-def main(_retries: int = 2):
+def main(_retries: int = 6):
     from protopformer_tpu.utils.cache import enable_compilation_cache
 
     enable_compilation_cache()
@@ -77,8 +77,9 @@ def main(_retries: int = 2):
         out = model.apply({"params": params}, images, train=False)
         return acc + out.logits.sum().astype(jnp.float32)
 
-    # the remote-TPU tunnel occasionally throws a transient
-    # "TPU backend error (Internal)" — retry rather than lose the record
+    # the remote-TPU tunnel throws transient "TPU backend error (Internal)"
+    # and goes through multi-minute outages ("Unable to initialize backend")
+    # — retry with backoff rather than lose the record
     try:
         np.asarray(forward(jnp.float32(0), params, x))  # compile + warm
 
@@ -92,7 +93,7 @@ def main(_retries: int = 2):
     except Exception:
         if _retries <= 0:
             raise
-        time.sleep(10)
+        time.sleep(10 * 2 ** (6 - _retries))  # 10s .. ~5min, ~10min total
         return main(_retries - 1)
 
     img_per_sec = batch_size * iters / dt
@@ -192,4 +193,13 @@ if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "host":
         bench_host()
     else:
-        main()
+        # outer retry: backend-INIT failures (tunnel outage) raise before
+        # main()'s inner compile/run retry loop is reached
+        for attempt in range(5):
+            try:
+                main()
+                break
+            except Exception:
+                if attempt == 4:
+                    raise
+                time.sleep(60 * (attempt + 1))
