@@ -15,7 +15,6 @@ optimizer, schedule, [resume], epoch loop with eval + checkpointing.
 from __future__ import annotations
 
 import argparse
-import dataclasses
 import json
 import os
 import time

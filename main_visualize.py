@@ -9,7 +9,6 @@ Gaussian 3-D surfaces) under --output_dir.
 from __future__ import annotations
 
 import argparse
-import os
 
 import numpy as np
 
