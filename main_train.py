@@ -402,8 +402,18 @@ def main(args) -> dict:
                 convert_ppnet_state_dict,
             )
 
-            ckpt = _torch.load(resume, map_location="cpu",
-                               weights_only=False)
+            try:
+                # plain-tensor checkpoints load under the safe
+                # weights_only path (torch >= 2.6 default)
+                ckpt = _torch.load(resume, map_location="cpu",
+                                   weights_only=True)
+            except Exception:
+                logger.warning(
+                    "weights_only load failed; falling back to full "
+                    "unpickling — only resume checkpoints you trust"
+                )
+                ckpt = _torch.load(resume, map_location="cpu",
+                                   weights_only=False)
             sd = ckpt.get("model", ckpt) if isinstance(ckpt, dict) else ckpt
             sd = {k: v for k, v in sd.items()}
             new_params = convert_ppnet_state_dict(
