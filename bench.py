@@ -19,7 +19,7 @@ import jax.numpy as jnp
 A100_BASELINE_IMG_PER_SEC = 5000.0
 
 
-def main(_retries: int = 6):
+def main(_retries: int = 4):
     from protopformer_tpu.utils.cache import enable_compilation_cache
 
     enable_compilation_cache()
@@ -93,7 +93,7 @@ def main(_retries: int = 6):
     except Exception:
         if _retries <= 0:
             raise
-        time.sleep(10 * 2 ** (6 - _retries))  # 10s .. ~5min, ~10min total
+        time.sleep(10 * 2 ** (4 - _retries))  # 10s..80s, ~2.5min total
         return main(_retries - 1)
 
     img_per_sec = batch_size * iters / dt
@@ -195,11 +195,11 @@ if __name__ == "__main__":
     else:
         # outer retry: backend-INIT failures (tunnel outage) raise before
         # main()'s inner compile/run retry loop is reached
-        for attempt in range(5):
+        for attempt in range(3):
             try:
                 main()
                 break
             except Exception:
-                if attempt == 4:
+                if attempt == 2:
                     raise
                 time.sleep(60 * (attempt + 1))
