@@ -55,6 +55,14 @@ class BackboneConfig:
     # exact reference-parity discard threshold (True, default) vs the
     # bf16-prefix speed variant (False; keeps boundary-prefix ties)
     rollout_exact_discard: bool = True
+    # SPEED MODE ONLY (requires rollout_exact_discard=False): run the
+    # discard-threshold count passes on a lane-contiguous 1/N subset of
+    # each map (1 = exact counts; 2/4 = sampled-quantile estimate —
+    # ops/rollout.py::masked_map_stats). The count passes are the serving
+    # profile's second-hottest region; the sampled threshold's rank error
+    # (~3% of the keep count at 4) sits inside the speed-mode selection
+    # contract. DeiT pruning path only (CaiT maps are not probabilities).
+    rollout_discard_sample: int = 1
     # Pallas kernels for the rollout normalize: opt-in ("on"/"auto"/"off").
     # Default OFF: on v5e the XLA path (batch-vectorized bit-bisection,
     # ops/rollout.py) measured faster than the per-sample Pallas grid; the
@@ -118,6 +126,16 @@ class BackboneConfig:
                 raise ValueError(
                     f"BackboneConfig.{name}={value!r} not in {allowed}"
                 )
+        if self.rollout_discard_sample not in (1, 2, 4):
+            raise ValueError(
+                "BackboneConfig.rollout_discard_sample="
+                f"{self.rollout_discard_sample!r} not in (1, 2, 4)"
+            )
+        if self.rollout_discard_sample != 1 and self.rollout_exact_discard:
+            raise ValueError(
+                "rollout_discard_sample > 1 is a speed-mode approximation;"
+                " it requires rollout_exact_discard=False"
+            )
 
     @property
     def num_patches(self) -> int:

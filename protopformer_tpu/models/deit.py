@@ -303,6 +303,7 @@ class DeiTBackbone(nn.Module):
                     lazy_stats.append(masked_map_stats(
                         fmap, cfg.rollout_discard_ratio,
                         cfg.rollout_exact_discard, value_bound=1.0,
+                        sample=cfg.rollout_discard_sample,
                     ))
 
         x = self.norm(x)

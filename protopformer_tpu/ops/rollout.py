@@ -27,6 +27,7 @@ from __future__ import annotations
 
 from typing import Sequence, Tuple
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 
@@ -83,17 +84,23 @@ def kth_largest(
     B = flat.shape[0]
     lo = jnp.zeros((B,), jnp.int32)
     if bound is not None:
-        hib = jax.lax.bitcast_convert_type(jnp.float32(bound), jnp.int32)
+        hib = int(np.float32(bound).view(np.int32))
         hi = jnp.full((B,), hib, jnp.int32)
+        # static bound -> static bracket width: the search converges once
+        # the bracket hits 1 element, so ceil(log2(width)) passes suffice
+        # (bound=1.0 -> 30 passes instead of 31) — bit-identical result
+        iters = (hib + 1).bit_length()
     else:
         hi = jnp.max(bits, axis=red)
+        # int32 range of non-negative floats is < 2^31; 31 iterations
+        # suffice
+        iters = 31
 
-    # int32 range of non-negative floats is < 2^31; 31 iterations suffice.
     # Python-unrolled on purpose: a fori_loop's per-iteration while-op
     # bookkeeping costs as much as the count pass itself (~6.5us each at
     # B=160 map shape — measured, docs/DESIGN.md), and XLA cannot hoist it;
     # unrolling is straight-line HLO and cut 0.96 -> 0.74 ms/map on v5e.
-    for _ in range(31):
+    for _ in range(iters):
         mid = lo + (hi - lo + 1) // 2  # round up so lo strictly advances
         ok = feasible(mid) >= keep
         lo, hi = jnp.where(ok, mid, lo), jnp.where(ok, hi, mid - 1)
@@ -122,13 +129,15 @@ def kth_largest_prefix16(
 
     lo = jnp.zeros((B,), jnp.int32)
     if bound is not None:
-        hib = jax.lax.bitcast_convert_type(jnp.float32(bound), jnp.int32)
-        hi = jnp.full((B,), hib >> 16, jnp.int32)
+        hib = int(np.float32(bound).view(np.int32)) >> 16
+        hi = jnp.full((B,), hib, jnp.int32)
+        iters = (hib + 1).bit_length()  # static bracket (1.0 -> 14 passes)
     else:
         hi = jnp.max(bits, axis=red)
+        iters = 15
 
     # unrolled: see kth_largest — loop bookkeeping ~doubles the pass cost
-    for _ in range(15):
+    for _ in range(iters):
         mid = lo + (hi - lo + 1) // 2
         ok = feasible(mid) >= keep
         lo, hi = jnp.where(ok, mid, lo), jnp.where(ok, hi, mid - 1)
@@ -164,15 +173,17 @@ def kth_largest_bf16(
     B = flat.shape[0]
     lo = jnp.zeros((B,), jnp.int16)
     if bound is not None:
-        hib = jax.lax.bitcast_convert_type(
-            jnp.bfloat16(bound), jnp.int16
+        hib = int(
+            np.float32(bound).astype(jnp.bfloat16).view(np.uint16)
         )
         hi = jnp.full((B,), hib, jnp.int16)
+        iters = (hib + 1).bit_length()  # static bracket (1.0 -> 14 passes)
     else:
         hi = jnp.max(bits, axis=red)
+        iters = 15
 
     # unrolled: see kth_largest — loop bookkeeping ~doubles the pass cost
-    for _ in range(15):
+    for _ in range(iters):
         mid = lo + (hi - lo + jnp.int16(1)) // jnp.int16(2)
         ok = feasible(mid) >= keep
         lo, hi = (
@@ -225,6 +236,7 @@ def masked_map_stats(
     exact_discard: bool = True,
     keep_elements: int = None,
     value_bound: float = None,
+    sample: int = 1,
 ) -> Tuple[jax.Array, jax.Array]:
     """Discard threshold + masked row sums of one fused map — the compact
     per-layer state for the LAZY rollout chain (rollout_row_scores_lazy).
@@ -247,6 +259,16 @@ def masked_map_stats(
       value_bound: static upper bound on the map values when known (1.0
         for softmax probability maps) — skips the bracket-init max pass.
         Do NOT pass for CaiT talking-heads maps (not probabilities).
+      sample: SPEED MODE ONLY (requires ``exact_discard=False``): estimate
+        the threshold from a lane-contiguous 1/sample subset of the map
+        (the first 512//sample lanes of every 512-lane block — flat index
+        stride 197 vs block 512 are coprime, so every map column is
+        covered ~uniformly across rows). The count passes — the serving
+        profile's second-hottest region — read ``sample``x fewer
+        elements; the threshold becomes a sampled-quantile estimate with
+        rank error ~sqrt(keep/sample)*sample (~3% of the keep count at
+        sample=4), an error class strictly inside the speed-mode
+        selection contract (tests/test_parity.py). 1 = exact counts.
     Returns:
       (t (B,) keep-threshold in the map dtype — -inf when discard is
        disabled, s (B, M) fp32 masked row sums).
@@ -268,7 +290,31 @@ def masked_map_stats(
         # 3-D counting 8.4 vs 6.2 ms; swapaxes-first flatten 140 ms (XLA
         # re-materializes it per pass); float-space compares on the
         # native layout (no int16 view at all) 8.0 vs 6.2 ms at B=96.
-        t = kth_fn(a.reshape(a.shape[0], -1), keep, bound=value_bound)
+        flat = a.reshape(a.shape[0], -1)
+        if sample > 1:
+            if exact_discard:
+                raise ValueError(
+                    "sampled discard counts are a speed-mode approximation;"
+                    " use sample=1 with exact_discard=True"
+                )
+            if keep_elements is not None:
+                raise ValueError(
+                    "sampled counts do not compose with padded maps"
+                )
+            blk = 512
+            ec = (flat.shape[1] // blk) * blk
+            sub = flat[:, :ec].reshape(B, ec // blk, blk)[
+                :, :, : blk // sample
+            ].reshape(B, -1)
+            # materialize the subset ONCE — without the barrier XLA
+            # re-fuses the strided slice into every count pass and
+            # re-reads the full map each time (the round-2 swapaxes
+            # lesson, docs/DESIGN.md)
+            sub = jax.lax.optimization_barrier(sub)
+            keep_sub = max(1, round(keep * sub.shape[1] / real))
+            t = kth_fn(sub, keep_sub, bound=value_bound)
+        else:
+            t = kth_fn(flat, keep, bound=value_bound)
         s = jnp.sum(
             jnp.where(a >= t[:, None, None], a, 0),
             axis=-1, dtype=jnp.float32,

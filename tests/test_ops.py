@@ -299,6 +299,76 @@ def test_kth_largest_mixed_sign(rng):
         np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
 
 
+def test_kth_largest_static_bound_bit_identical(rng):
+    """A static ``bound`` shrinks the unrolled pass count (1.0 -> 30/14
+    passes for fp32/bf16); the result must stay BIT-identical to top_k —
+    including at adversarial tie/zero/denormal-heavy rows."""
+    from protopformer_tpu.ops.rollout import (
+        kth_largest,
+        kth_largest_bf16,
+        kth_largest_prefix16,
+    )
+
+    x = rng.uniform(0.0, 1.0, size=(6, 4099)).astype(np.float32)
+    x[1, :64] = 0.5           # ties at the threshold
+    x[2] = 0.0                # all-but-few zero
+    x[2, :10] = 1e-30         # denormal-range survivors
+    x[3, ::7] = 1.0           # ties at the bound itself
+    xj = jnp.asarray(x)
+    for keep in (1, 41, 409, 4099):
+        want = jax.lax.top_k(xj, keep)[0][:, -1]
+        for b in (None, 1.0):
+            got = kth_largest(xj, keep, bound=b)
+            np.testing.assert_array_equal(
+                np.asarray(got), np.asarray(want), err_msg=f"bound={b}"
+            )
+    xb = xj.astype(jnp.bfloat16)
+    for keep in (1, 409):
+        want = jax.lax.top_k(xb.astype(jnp.float32), keep)[0][:, -1]
+        got = kth_largest_bf16(xb, keep, bound=1.0).astype(jnp.float32)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+    # prefix16 contract: the bf16-floor of the exact k-th value
+    want16 = (
+        np.asarray(jax.lax.top_k(xj, 409)[0][:, -1]).view(np.int32)
+        >> 16 << 16
+    )
+    got16 = np.asarray(kth_largest_prefix16(xj, 409, bound=1.0))
+    np.testing.assert_array_equal(got16.view(np.int32), want16)
+
+
+def test_masked_map_stats_sampled_counts(rng):
+    """sample>1 (speed mode): the sampled-quantile threshold's kept-count
+    must stay within a few percent of the exact keep count, and the row
+    sums must be exactly the sums of the values the threshold keeps."""
+    from protopformer_tpu.ops.rollout import masked_map_stats
+
+    B, N = 4, 197
+    raw = jnp.asarray(
+        rng.dirichlet(np.ones(N) * 0.05, (B, N)).astype(np.float32)
+    ).astype(jnp.bfloat16)
+    keep = N * N - int(N * N * 0.9)
+    for sample in (2, 4):
+        t, s = masked_map_stats(
+            raw, 0.9, exact_discard=False, value_bound=1.0, sample=sample
+        )
+        flat = np.asarray(raw, np.float32).reshape(B, -1)
+        kept = (flat >= np.asarray(t, np.float32)[:, None]).sum(-1)
+        np.testing.assert_allclose(kept, keep, rtol=0.10)
+        want_s = np.where(
+            np.asarray(raw, np.float32)
+            >= np.asarray(t, np.float32)[:, None, None],
+            np.asarray(raw, np.float32), 0.0,
+        ).sum(-1)
+        np.testing.assert_allclose(np.asarray(s), want_s, rtol=1e-6)
+    # guards: exact mode and padded maps must reject sampling
+    with pytest.raises(ValueError):
+        masked_map_stats(raw.astype(jnp.float32), 0.9, sample=4)
+    with pytest.raises(ValueError):
+        masked_map_stats(
+            raw, 0.9, exact_discard=False, keep_elements=N * N - 5, sample=4
+        )
+
+
 def test_lazy_rollout_negative_maps(rng):
     """The no-discard sentinel must keep negative entries (regression: a 0
     threshold silently masked them, breaking CaiT's dense-rollout parity)."""
