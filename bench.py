@@ -19,20 +19,31 @@ import jax.numpy as jnp
 A100_BASELINE_IMG_PER_SEC = 5000.0
 
 
-def main(_retries: int = 4):
-    from protopformer_tpu.utils.cache import enable_compilation_cache
+def _measure_mode(exact: bool, batch_size: int = 160, iters: int = 60):
+    """img/s for one discard mode (B=160, the measured v5e sweet spot),
+    using the production serving recipe: uint8 input, normalization folded
+    into the patch-embed, compiler-chosen (AUTO) input layouts.
 
-    enable_compilation_cache()
+    The steps are chained through a scalar accumulator so every iteration
+    must execute before the final host sync — through the remote-TPU
+    tunnel, block_until_ready alone under-measures (fixed ~30ms RTT, and
+    independent dispatches may be elided)."""
     from protopformer_tpu.core.config import PPNetConfig, backbone_preset
     from protopformer_tpu.models import construct_ppnet
+    from protopformer_tpu.data.preprocess import (
+        fold_normalization_into_patch_embed,
+    )
 
-    # speed-mode discard: the bf16-prefix threshold keeps a superset of the
-    # exact keep-set; in bf16 compute the top-81 selection contract is
-    # measurably identical to the exact bisection (77-81/81 overlap vs the
-    # fp32 oracle either way, drops confined to the borderline tail —
-    # tests/test_parity.py bf16 contract test covers both)
+    # speed mode (exact=False): bf16-bitspace discard threshold counted on
+    # a lane-contiguous 1/4 sample of each map — the top-81 selection
+    # contract vs the fp32 oracle is measurably identical to the exact
+    # bisection (77-81/81 overlap, drops confined to the borderline tail —
+    # tests/test_parity.py selection-contract tests pin every mode).
+    # exact mode (exact=True): bit-exact reference-parity threshold.
     backbone = backbone_preset(
-        "deit_tiny_patch16_224", rollout_exact_discard=False
+        "deit_tiny_patch16_224",
+        rollout_exact_discard=exact,
+        rollout_discard_sample=1 if exact else 4,
     )
     ppnet_cfg = PPNetConfig(
         prototype_shape=(2000, 192, 1, 1),
@@ -44,10 +55,6 @@ def main(_retries: int = 4):
     )
     model = construct_ppnet(backbone, ppnet_cfg, compute_dtype=jnp.bfloat16)
 
-    # measured single-chip sweet spot after the bf16-map rollout state
-    # (scripts/perf_sweep.py sweep — larger batches spill the per-layer
-    # maps: 19.8k img/s at B=160 vs 19.0k at 192)
-    batch_size = 160
     rng = jax.random.key(1028)
     params = model.init(rng, jnp.zeros((1, 224, 224, 3)))["params"]
     # host contract: raw uint8 RGB (what a JPEG decode actually produces —
@@ -55,58 +62,84 @@ def main(_retries: int = 4):
     # normalization are FOLDED into the patch-embed conv (exact linear
     # algebra, data/preprocess.py): the serving program computes the
     # normalized model with zero extra passes over the batch.
+    params = fold_normalization_into_patch_embed(
+        params, input_scale=1.0 / 255.0
+    )
     x = (
         jax.random.uniform(rng, (batch_size, 224, 224, 3), jnp.float32)
         * 255.0
     ).astype(jnp.uint8)
 
-    from protopformer_tpu.data.preprocess import (
-        fold_normalization_into_patch_embed,
-    )
-
-    params = fold_normalization_into_patch_embed(
-        params, input_scale=1.0 / 255.0
-    )
-
-    # The steps are chained through a scalar accumulator so every iteration
-    # must execute before the final host sync — through the remote-TPU
-    # tunnel, block_until_ready alone under-measures (fixed ~30ms RTT, and
-    # independent dispatches may be elided).
-    @jax.jit
     def forward(acc, params, images):
         out = model.apply({"params": params}, images, train=False)
         return acc + out.logits.sum().astype(jnp.float32)
+
+    # compiler-chosen input layouts (the ServingEngine recipe): the params
+    # and the input chunk are STAGED in the layouts the program wants, so
+    # the in-program u8 relayout copy and the frozen-head layout traffic
+    # disappear (H2D transfers write tiled layouts for free)
+    try:
+        from jax.experimental.layout import Format, Layout
+
+        fwd = jax.jit(forward, in_shardings=Format(Layout.AUTO))
+        compiled = fwd.lower(jnp.float32(0), params, x).compile()
+        _, params_f, x_f = compiled.input_formats[0]
+        params = jax.tree_util.tree_map(
+            lambda a, f: jax.device_put(np.asarray(a), f), params, params_f
+        )
+        x = jax.device_put(np.asarray(x), x_f)
+        fwd = compiled
+    except Exception:
+        fwd = jax.jit(forward)
+
+    np.asarray(fwd(jnp.float32(0), params, x))  # compile + warm
+    acc = jnp.float32(0)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        acc = fwd(acc, params, x)
+    np.asarray(acc)
+    dt = time.perf_counter() - t0
+    return batch_size * iters / dt
+
+
+def main(_retries: int = 4):
+    from protopformer_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
 
     # the remote-TPU tunnel throws transient "TPU backend error (Internal)"
     # and goes through multi-minute outages ("Unable to initialize backend")
     # — retry with backoff rather than lose the record
     try:
-        np.asarray(forward(jnp.float32(0), params, x))  # compile + warm
-
-        iters = 60  # smaller batch -> more reps for stable timing
-        acc = jnp.float32(0)
-        t0 = time.perf_counter()
-        for _ in range(iters):
-            acc = forward(acc, params, x)
-        np.asarray(acc)
-        dt = time.perf_counter() - t0
+        img_per_sec = _measure_mode(exact=False)
     except Exception:
         if _retries <= 0:
             raise
         time.sleep(10 * 2 ** (4 - _retries))  # 10s..80s, ~2.5min total
         return main(_retries - 1)
 
-    img_per_sec = batch_size * iters / dt
-    print(
-        json.dumps(
-            {
-                "metric": "deit_tiny_ppnet_inference_throughput",
-                "value": round(img_per_sec, 1),
-                "unit": "images/sec/chip",
-                "vs_baseline": round(img_per_sec / A100_BASELINE_IMG_PER_SEC, 3),
-            }
+    # secondary record: the bit-exact reference-parity discard mode on the
+    # same serving recipe (headline stays the speed mode — the analogue of
+    # the reference's own AMP eval; the exact mode is what reproduction
+    # runs should use). Non-fatal: the headline must survive a tunnel
+    # hiccup here.
+    try:
+        exact_img_per_sec = _measure_mode(exact=True, iters=40)
+    except Exception:
+        exact_img_per_sec = None
+
+    record = {
+        "metric": "deit_tiny_ppnet_inference_throughput",
+        "value": round(img_per_sec, 1),
+        "unit": "images/sec/chip",
+        "vs_baseline": round(img_per_sec / A100_BASELINE_IMG_PER_SEC, 3),
+    }
+    if exact_img_per_sec is not None:
+        record["exact_mode_img_per_sec"] = round(exact_img_per_sec, 1)
+        record["exact_mode_vs_baseline"] = round(
+            exact_img_per_sec / A100_BASELINE_IMG_PER_SEC, 3
         )
-    )
+    print(json.dumps(record))
 
 
 def bench_host(n_images: int = 512, size=(500, 375), num_workers: int = 8):
