@@ -299,11 +299,15 @@ class DeiTBackbone(nn.Module):
                 else:
                     # value_bound=1.0: DeiT maps are head-fused softmax
                     # probabilities, so the bisection bracket needs no
-                    # full-map max pass
+                    # full-map max pass; stochastic_eps tightens it to the
+                    # probability-mass bracket (rows sum to exactly 1 with
+                    # the eps floor — ops/masking.py), cutting 2 more
+                    # passes in exact mode, bit-identically
                     lazy_stats.append(masked_map_stats(
                         fmap, cfg.rollout_discard_ratio,
                         cfg.rollout_exact_discard, value_bound=1.0,
                         sample=cfg.rollout_discard_sample,
+                        stochastic_eps=1e-6,
                     ))
 
         x = self.norm(x)

@@ -45,8 +45,27 @@ def _fuse_heads(attn: jax.Array, head_fusion: str) -> jax.Array:
     raise ValueError(f"unknown head_fusion: {head_fusion}")
 
 
+def _static_bracket(bound, to_bits):
+    """Static bisection bracket from a ``bound`` spec.
+
+    ``bound`` is either a float upper bound (lower bound 0) or a
+    ``(lo, hi)`` float pair bracketing the k-th largest value — the
+    caller guarantees count(x >= lo) >= keep and kth <= hi. Returns
+    (lo0, hi0, iters) in the searched integer bit space: a bisection
+    over [lo0, hi0] needs exactly ceil(log2(width)) passes.
+    """
+    if isinstance(bound, tuple):
+        lo_f, hi_f = bound
+        lo0 = to_bits(lo_f)
+        hi0 = to_bits(hi_f)
+    else:
+        lo0 = 0
+        hi0 = to_bits(bound)
+    return lo0, hi0, (hi0 - lo0 + 1).bit_length()
+
+
 def kth_largest(
-    flat: jax.Array, keep: int, bound: float = None
+    flat: jax.Array, keep: int, bound=None
 ) -> jax.Array:
     """Exact keep-th largest value per row of a NON-NEGATIVE fp32 matrix.
 
@@ -82,15 +101,18 @@ def kth_largest(
         return jnp.sum((bits >= t[texp]).astype(jnp.int32), axis=red)
 
     B = flat.shape[0]
-    lo = jnp.zeros((B,), jnp.int32)
     if bound is not None:
-        hib = int(np.float32(bound).view(np.int32))
-        hi = jnp.full((B,), hib, jnp.int32)
         # static bound -> static bracket width: the search converges once
         # the bracket hits 1 element, so ceil(log2(width)) passes suffice
-        # (bound=1.0 -> 30 passes instead of 31) — bit-identical result
-        iters = (hib + 1).bit_length()
+        # (bound=1.0 -> 30 passes; a (floor, cap) probability-mass bracket
+        # from masked_map_stats -> 28) — bit-identical result
+        lob, hib, iters = _static_bracket(
+            bound, lambda v: int(np.float32(v).view(np.int32))
+        )
+        lo = jnp.full((B,), lob, jnp.int32)
+        hi = jnp.full((B,), hib, jnp.int32)
     else:
+        lo = jnp.zeros((B,), jnp.int32)
         hi = jnp.max(bits, axis=red)
         # int32 range of non-negative floats is < 2^31; 31 iterations
         # suffice
@@ -127,12 +149,16 @@ def kth_largest_prefix16(
     def feasible(t):
         return jnp.sum((bits >= t[texp]).astype(jnp.int32), axis=red)
 
-    lo = jnp.zeros((B,), jnp.int32)
     if bound is not None:
-        hib = int(np.float32(bound).view(np.int32)) >> 16
+        # static bracket (1.0 -> 14 passes); >> 16 is monotone, so a
+        # (lo, hi) float pair maps to a valid prefix-space bracket
+        lob, hib, iters = _static_bracket(
+            bound, lambda v: int(np.float32(v).view(np.int32)) >> 16
+        )
+        lo = jnp.full((B,), lob, jnp.int32)
         hi = jnp.full((B,), hib, jnp.int32)
-        iters = (hib + 1).bit_length()  # static bracket (1.0 -> 14 passes)
     else:
+        lo = jnp.zeros((B,), jnp.int32)
         hi = jnp.max(bits, axis=red)
         iters = 15
 
@@ -171,14 +197,17 @@ def kth_largest_bf16(
         return jnp.sum((bits >= t[texp]).astype(jnp.int32), axis=red)
 
     B = flat.shape[0]
-    lo = jnp.zeros((B,), jnp.int16)
     if bound is not None:
-        hib = int(
-            np.float32(bound).astype(jnp.bfloat16).view(np.uint16)
+        # static bracket (1.0 -> 14 passes); float->bf16-bits is monotone
+        # for non-negative values, so (lo, hi) pairs stay valid brackets
+        lob, hib, iters = _static_bracket(
+            bound,
+            lambda v: int(np.float32(v).astype(jnp.bfloat16).view(np.uint16)),
         )
+        lo = jnp.full((B,), lob, jnp.int16)
         hi = jnp.full((B,), hib, jnp.int16)
-        iters = (hib + 1).bit_length()  # static bracket (1.0 -> 14 passes)
     else:
+        lo = jnp.zeros((B,), jnp.int16)
         hi = jnp.max(bits, axis=red)
         iters = 15
 
@@ -237,6 +266,7 @@ def masked_map_stats(
     keep_elements: int = None,
     value_bound: float = None,
     sample: int = 1,
+    stochastic_eps: float = None,
 ) -> Tuple[jax.Array, jax.Array]:
     """Discard threshold + masked row sums of one fused map — the compact
     per-layer state for the LAZY rollout chain (rollout_row_scores_lazy).
@@ -269,6 +299,15 @@ def masked_map_stats(
         rank error ~sqrt(keep/sample)*sample (~3% of the keep count at
         sample=4), an error class strictly inside the speed-mode
         selection contract (tests/test_parity.py). 1 = exact counts.
+      stochastic_eps: when the map is a head-MEAN of eps-softmax outputs
+        (ops/masking.py::eps_softmax with this eps — rows sum to EXACTLY
+        1 and every element is >= (eps/N)/(N + eps) since e >= 0 and
+        sum(e) <= N), derive a static probability-mass bracket for the
+        bisection: kth <= row_count/keep (keep elements above kth cannot
+        exceed the total mass M) and kth >= the eps floor. Cuts the
+        bisection from 30 to 28 passes (fp32) / 14 to 13 (bf16) with a
+        bit-identical result. Ignored for padded maps (zeros break the
+        floor). Do NOT pass for non-eps-softmax maps.
     Returns:
       (t (B,) keep-threshold in the map dtype — -inf when discard is
        disabled, s (B, M) fp32 masked row sums).
@@ -282,6 +321,20 @@ def masked_map_stats(
         kth_fn = kth_largest if exact_discard else kth_largest_prefix16
     real = keep_elements if keep_elements is not None else M * N
     keep = real - int(real * discard_ratio)
+
+    def _bound_for(keep_count):
+        """Static bisection bound for a keep_count-th largest search."""
+        if stochastic_eps is None or keep_elements is not None:
+            return value_bound
+        # mass bracket (see stochastic_eps above); 2%/±2% safety margins
+        # absorb the map dtype's round-to-nearest storage (<= 2^-8
+        # relative in bf16) and the fp32 constant conversions
+        floor = stochastic_eps / N / (N + stochastic_eps) * 0.98
+        cap = M / keep_count * 1.02
+        if value_bound is not None:
+            cap = min(cap, value_bound)
+        return (floor, cap)
+
     if keep < real:
         # flatten for the count passes: (B, M*N) pads to 128 lanes with
         # +0.3% waste vs +31% counting on the (B, M, N) tiles. The
@@ -312,9 +365,12 @@ def masked_map_stats(
             # lesson, docs/DESIGN.md)
             sub = jax.lax.optimization_barrier(sub)
             keep_sub = max(1, round(keep * sub.shape[1] / real))
-            t = kth_fn(sub, keep_sub, bound=value_bound)
+            # the subset's total mass is still <= M, so the full-map cap
+            # holds with keep_sub in the denominator; the eps floor holds
+            # element-wise
+            t = kth_fn(sub, keep_sub, bound=_bound_for(keep_sub))
         else:
-            t = kth_fn(flat, keep, bound=value_bound)
+            t = kth_fn(flat, keep, bound=_bound_for(keep))
         s = jnp.sum(
             jnp.where(a >= t[:, None, None], a, 0),
             axis=-1, dtype=jnp.float32,

@@ -8,7 +8,7 @@ serving recipe behind one object:
   * normalization (and the uint8 /255) FOLDED into the patch-embed conv
     (data/preprocess.py) — the engine consumes raw uint8 RGB;
   * bf16 speed mode at the measured batch sweet spot (B=160 on v5e-1:
-    20.9k img/s/chip, docs/DESIGN.md);
+    23.7k img/s/chip, docs/DESIGN.md);
   * requests of ANY size: chunked to the compiled batch, tail padded and
     sliced off; one compile total (plus the persistent compilation cache,
     utils/cache.py).
@@ -17,12 +17,12 @@ The reference has no serving surface (research repo); this is the
 TPU-framework-native equivalent of its eval loop driven as a service.
 
 Throughput expectations: the jitted forward itself sustains the bench.py
-number (20.9k img/s/chip on v5e-1 at B=160). End-to-end engine throughput
+number (23.7k img/s/chip on v5e-1 at B=160). End-to-end engine throughput
 is bounded by host->device input bandwidth: 24 MB per 160-image uint8
 chunk needs ~16 GB/s PCIe on a real TPU host to stay compute-bound. On
 the remote-tunnel dev environment the tunnel's network H2D (0.05-1.2 GB/s
 depending on load) dominates instead — measured 340 img/s there; that is
-the environment, not the engine (the same program measures 20.9k with
+the environment, not the engine (the same program measures 23.7k with
 device-resident inputs).
 """
 

@@ -36,7 +36,9 @@ def build(exact: bool, B: int):
         use_global=True, global_proto_per_class=10,
     )
     bb = backbone_preset(
-        "deit_tiny_patch16_224", rollout_exact_discard=exact
+        "deit_tiny_patch16_224",
+        rollout_exact_discard=exact,
+        rollout_discard_sample=1 if exact else 4,
     )
     model = construct_ppnet(bb, pp, compute_dtype=jnp.bfloat16)
     rng = jax.random.key(1028)
@@ -46,12 +48,21 @@ def build(exact: bool, B: int):
         jax.random.uniform(rng, (B, 224, 224, 3), jnp.float32) * 255.0
     ).astype(jnp.uint8)
 
-    @jax.jit
-    def fwd(acc, p, im):
+    def step(acc, p, im):
         out = model.apply({"params": p}, im, train=False)
         return acc + out.logits.sum().astype(jnp.float32)
 
-    return fwd, params, x
+    # the official serving recipe: AUTO input layouts, staged operands
+    from jax.experimental.layout import Format, Layout
+
+    fwd = jax.jit(step, in_shardings=Format(Layout.AUTO))
+    compiled = fwd.lower(jnp.float32(0), params, x).compile()
+    _, params_f, x_f = compiled.input_formats[0]
+    params = jax.tree_util.tree_map(
+        lambda a, f: jax.device_put(np.asarray(a), f), params, params_f
+    )
+    x = jax.device_put(np.asarray(x), x_f)
+    return compiled, params, x
 
 
 def aggregate(xdir: str, iters: int):

@@ -343,9 +343,11 @@ def test_masked_map_stats_sampled_counts(rng):
     from protopformer_tpu.ops.rollout import masked_map_stats
 
     B, N = 4, 197
-    raw = jnp.asarray(
-        rng.dirichlet(np.ones(N) * 0.05, (B, N)).astype(np.float32)
-    ).astype(jnp.bfloat16)
+    base = rng.dirichlet(np.ones(N) * 0.05, (B, N)).astype(np.float32)
+    # adversarial spatial peak: concentrate the mass OUTSIDE the sampling
+    # window (bottom-right queries, last keys) for one batch element
+    base[3] = np.roll(base[3], (N - 20, N - 20), axis=(0, 1))
+    raw = jnp.asarray(base).astype(jnp.bfloat16)
     keep = N * N - int(N * N * 0.9)
     for sample in (2, 4):
         t, s = masked_map_stats(
@@ -353,7 +355,7 @@ def test_masked_map_stats_sampled_counts(rng):
         )
         flat = np.asarray(raw, np.float32).reshape(B, -1)
         kept = (flat >= np.asarray(t, np.float32)[:, None]).sum(-1)
-        np.testing.assert_allclose(kept, keep, rtol=0.10)
+        np.testing.assert_allclose(kept, keep, rtol=0.15)
         want_s = np.where(
             np.asarray(raw, np.float32)
             >= np.asarray(t, np.float32)[:, None, None],
@@ -367,6 +369,68 @@ def test_masked_map_stats_sampled_counts(rng):
         masked_map_stats(
             raw, 0.9, exact_discard=False, keep_elements=N * N - 5, sample=4
         )
+
+
+def test_masked_map_stats_mass_bracket_bit_identical(rng):
+    """``stochastic_eps`` derives a static (floor, cap) bisection bracket
+    from the eps-softmax row-mass invariants (rows sum to EXACTLY 1,
+    every element >= (eps/N)/(N+eps)); the threshold must stay
+    BIT-identical to the unbracketed search in every mode — including a
+    hyper-concentrated map whose k-th value sits right at the eps floor,
+    and a uniform map whose k-th value sits near the mass cap."""
+    from protopformer_tpu.ops.masking import eps_softmax
+    from protopformer_tpu.ops.rollout import kth_largest, masked_map_stats
+
+    B, H, N = 3, 3, 197
+    logits = rng.normal(size=(B, H, N, N)).astype(np.float32) * 2.0
+    # row 0 of batch 1: one token takes everything -> other probs at the
+    # eps floor (the bracket's lo edge)
+    logits[1, :, :, 0] = 60.0
+    # batch 2: uniform logits -> kth near 1/N (the cap side for small keep)
+    logits[2] = 0.0
+    probs = np.asarray(eps_softmax(jnp.asarray(logits)))
+    fmap32 = jnp.asarray(probs.mean(1))  # (B, N, N) head-mean, fp32
+
+    keep = N * N - int(N * N * 0.9)
+    # exact fp32 mode: bit-identical to the top_k oracle AND to the
+    # bound=1.0 search
+    t_ref, s_ref = masked_map_stats(fmap32, 0.9, True, value_bound=1.0)
+    t_brk, s_brk = masked_map_stats(
+        fmap32, 0.9, True, value_bound=1.0, stochastic_eps=1e-6
+    )
+    want = jax.lax.top_k(fmap32.reshape(B, -1), keep)[0][:, -1]
+    np.testing.assert_array_equal(np.asarray(t_brk), np.asarray(want))
+    np.testing.assert_array_equal(np.asarray(t_brk), np.asarray(t_ref))
+    np.testing.assert_array_equal(np.asarray(s_brk), np.asarray(s_ref))
+
+    # the floor/cap really bracket the kth for these maps
+    eps = 1e-6
+    floor = eps / N / (N + eps) * 0.98
+    cap = N / keep * 1.02
+    assert float(want.min()) >= floor and float(want.max()) <= cap
+
+    # bf16 speed mode, exact and sampled counts: threshold unchanged by
+    # the bracket
+    fmap16 = fmap32.astype(jnp.bfloat16)
+    for sample in (1, 4):
+        t0, _ = masked_map_stats(
+            fmap16, 0.9, False, value_bound=1.0, sample=sample
+        )
+        t1, _ = masked_map_stats(
+            fmap16, 0.9, False, value_bound=1.0, sample=sample,
+            stochastic_eps=1e-6,
+        )
+        np.testing.assert_array_equal(
+            np.asarray(t0, np.float32), np.asarray(t1, np.float32),
+            err_msg=f"sample={sample}",
+        )
+
+    # direct (lo, hi) bracket on kth_largest: edges inclusive
+    x = jnp.asarray(rng.uniform(0.25, 0.75, size=(4, 513)).astype(np.float32))
+    for keep2 in (1, 100, 513):
+        want2 = jax.lax.top_k(x, keep2)[0][:, -1]
+        got2 = kth_largest(x, keep2, bound=(0.25, 0.75))
+        np.testing.assert_array_equal(np.asarray(got2), np.asarray(want2))
 
 
 def test_lazy_rollout_negative_maps(rng):
