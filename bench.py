@@ -93,13 +93,20 @@ def _measure_mode(exact: bool, batch_size: int = 160, iters: int = 60):
         fwd = jax.jit(forward)
 
     np.asarray(fwd(jnp.float32(0), params, x))  # compile + warm
-    acc = jnp.float32(0)
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        acc = fwd(acc, params, x)
-    np.asarray(acc)
-    dt = time.perf_counter() - t0
-    return batch_size * iters / dt
+    # min-of-3 reps: one rep is a chained 20-iter average (amortizes the
+    # ~30ms tunnel RTT); taking the best rep reports the device's
+    # sustained rate rather than folding transient tunnel stalls into the
+    # record (same methodology as scripts/r3_sweep.py)
+    best_dt = float("inf")
+    per_rep = max(1, iters // 3)
+    for _ in range(3):
+        acc = jnp.float32(0)
+        t0 = time.perf_counter()
+        for _ in range(per_rep):
+            acc = fwd(acc, params, x)
+        np.asarray(acc)
+        best_dt = min(best_dt, time.perf_counter() - t0)
+    return batch_size * per_rep / best_dt
 
 
 def main(_retries: int = 4):
