@@ -155,8 +155,12 @@ class CaiTBackbone(nn.Module):
                     fmap.astype(jnp.float32), cfg.rollout_head_fusion
                 )
             sa_maps.append(fmap)
+            # signed: post-proj_w talking-heads maps are NOT probabilities —
+            # entire maps can be negative (the discard threshold must then
+            # be negative too); tests/test_reference_groundtruth.py
             t, s = masked_map_stats(
-                fmap, cfg.rollout_discard_ratio, cfg.rollout_exact_discard
+                fmap, cfg.rollout_discard_ratio, cfg.rollout_exact_discard,
+                signed=True,
             )
             sa_ts.append(t)
             sa_ss.append(s)

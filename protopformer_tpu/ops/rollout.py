@@ -81,9 +81,11 @@ def kth_largest(
     Mixed-sign inputs (CaiT's talking-heads maps are not probabilities):
     negative floats bitcast to negative int32, so every negative value
     counts as below any candidate threshold — the result is still EXACT
-    whenever the k-th largest value is >= 0, which holds for the rollout's
-    keep-top-10% by construction (tested); it is wrong only if k exceeds
-    the number of non-negative entries.
+    whenever the k-th largest value is >= 0, but it is WRONG if k exceeds
+    the number of non-negative entries (CaiT maps can be entirely
+    negative — measured on seeded weights; caught by
+    tests/test_reference_groundtruth.py). Use ``kth_largest_signed`` for
+    any input that is not non-negative by construction.
 
     Args:
       flat: (B, ...) fp32, all values >= 0 — the k-th largest is taken over
@@ -127,6 +129,79 @@ def kth_largest(
         ok = feasible(mid) >= keep
         lo, hi = jnp.where(ok, mid, lo), jnp.where(ok, hi, mid - 1)
     return jax.lax.bitcast_convert_type(lo, jnp.float32)
+
+
+def _monotone_keys_u32(flat: jax.Array) -> jax.Array:
+    """fp32 -> uint32 keys whose unsigned order equals float order for ALL
+    finite values (negatives included): flip all bits of negatives, set the
+    sign bit of non-negatives."""
+    u = jax.lax.bitcast_convert_type(flat, jnp.uint32)
+    sign = jnp.uint32(0x80000000)
+    return jnp.where(u >= sign, ~u, u | sign)
+
+
+def _key_to_f32(key: jax.Array) -> jax.Array:
+    sign = jnp.uint32(0x80000000)
+    u = jnp.where(key >= sign, key ^ sign, ~key)
+    return jax.lax.bitcast_convert_type(u, jnp.float32)
+
+
+def kth_largest_signed(
+    flat: jax.Array, keep: int, bound=None
+) -> jax.Array:
+    """Exact keep-th largest value per row for MIXED-SIGN fp32 input.
+
+    CaiT's talking-heads maps are post-``proj_w`` head mixtures, not
+    probabilities — entire maps can be negative (measured on seeded
+    weights: 10/24 layers all-negative), so the k-th largest is negative
+    and ``kth_largest``'s [0, hi] bracket is invalid. This variant bisects
+    the order-preserving unsigned key space (sign-flip trick) instead:
+    exact for any sign pattern, at the cost of a min/max bracket-init pass
+    and up to 32 count passes. Static ``bound``s assume non-negative
+    values and are rejected.
+    """
+    assert bound is None, "static bounds assume non-negative maps"
+    keys = _monotone_keys_u32(flat)
+    red = tuple(range(1, keys.ndim))
+    texp = (slice(None),) + (None,) * (keys.ndim - 1)
+
+    def feasible(t):
+        return jnp.sum((keys >= t[texp]).astype(jnp.int32), axis=red)
+
+    lo = jnp.min(keys, axis=red)
+    hi = jnp.max(keys, axis=red)
+    for _ in range(32):
+        mid = lo + (hi - lo + jnp.uint32(1)) // jnp.uint32(2)
+        ok = feasible(mid) >= keep
+        lo = jnp.where(ok, mid, lo)
+        hi = jnp.where(ok, hi, mid - jnp.uint32(1))
+    return _key_to_f32(lo)
+
+
+def kth_largest_bf16_signed(
+    flat: jax.Array, keep: int, bound=None
+) -> jax.Array:
+    """Exact keep-th largest of MIXED-SIGN bf16 input (speed mode; see
+    kth_largest_signed for why CaiT needs the signed key space)."""
+    assert bound is None, "static bounds assume non-negative maps"
+    u = jax.lax.bitcast_convert_type(flat, jnp.uint16)
+    sign = jnp.uint16(0x8000)
+    keys = jnp.where(u >= sign, ~u, u | sign)
+    red = tuple(range(1, keys.ndim))
+    texp = (slice(None),) + (None,) * (keys.ndim - 1)
+
+    def feasible(t):
+        return jnp.sum((keys >= t[texp]).astype(jnp.int32), axis=red)
+
+    lo = jnp.min(keys, axis=red)
+    hi = jnp.max(keys, axis=red)
+    for _ in range(16):
+        mid = lo + (hi - lo + jnp.uint16(1)) // jnp.uint16(2)
+        ok = feasible(mid) >= keep
+        lo = jnp.where(ok, mid, lo)
+        hi = jnp.where(ok, hi, mid - jnp.uint16(1))
+    back = jnp.where(lo >= sign, lo ^ sign, ~lo)
+    return jax.lax.bitcast_convert_type(back, jnp.bfloat16)
 
 
 def kth_largest_prefix16(
@@ -227,6 +302,7 @@ def normalize_attention_map(
     discard_ratio: float = 0.9,
     identity_weight: float = 0.2,
     exact_discard: bool = True,
+    signed: bool = False,
 ) -> jax.Array:
     """Discard + identity-blend + row-normalize one fused map.
 
@@ -248,9 +324,13 @@ def normalize_attention_map(
     if keep < M * N:
         # torch zeroes the k smallest by index; thresholding on the keep-th
         # largest value is equivalent up to ties at the threshold.
-        kth = (kth_largest if exact_discard else kth_largest_prefix16)(
-            a.reshape(B, M * N), keep
-        )
+        # signed: mixed-sign maps (CaiT talking-heads) need the signed key
+        # space — see kth_largest_signed
+        if signed:
+            kth_fn = kth_largest_signed
+        else:
+            kth_fn = kth_largest if exact_discard else kth_largest_prefix16
+        kth = kth_fn(a.reshape(B, M * N), keep)
         a = jnp.where(a >= kth[:, None, None], a, 0.0)
     # identity is row-truncated for class-attention maps (M < N)
     # (ref: cait_models_attn.py:240-241)
@@ -267,6 +347,7 @@ def masked_map_stats(
     value_bound: float = None,
     sample: int = 1,
     stochastic_eps: float = None,
+    signed: bool = False,
 ) -> Tuple[jax.Array, jax.Array]:
     """Discard threshold + masked row sums of one fused map — the compact
     per-layer state for the LAZY rollout chain (rollout_row_scores_lazy).
@@ -308,17 +389,34 @@ def masked_map_stats(
         bisection from 30 to 28 passes (fp32) / 14 to 13 (bf16) with a
         bit-identical result. Ignored for padded maps (zeros break the
         floor). Do NOT pass for non-eps-softmax maps.
+      signed: the map is NOT non-negative by construction (CaiT's
+        post-proj_w talking-heads maps — entire maps can be negative, so
+        the k-th largest itself can be negative): bisect the
+        order-preserving signed key space instead (kth_largest_signed /
+        kth_largest_bf16_signed). Incompatible with value_bound /
+        stochastic_eps / sample (all assume probability maps).
     Returns:
       (t (B,) keep-threshold in the map dtype — -inf when discard is
        disabled, s (B, M) fp32 masked row sums).
     """
     B, M, N = attn_fused.shape
+    if signed and (
+        value_bound is not None or stochastic_eps is not None or sample != 1
+    ):
+        raise ValueError(
+            "signed maps are not probabilities: value_bound/stochastic_eps/"
+            "sample do not apply"
+        )
     if attn_fused.dtype == jnp.bfloat16 and not exact_discard:
         a = attn_fused
-        kth_fn = kth_largest_bf16
+        kth_fn = kth_largest_bf16_signed if signed else kth_largest_bf16
     else:
         a = attn_fused.astype(jnp.float32)
-        kth_fn = kth_largest if exact_discard else kth_largest_prefix16
+        if signed:
+            # prefix16 has no signed variant; exact signed fp32 covers both
+            kth_fn = kth_largest_signed
+        else:
+            kth_fn = kth_largest if exact_discard else kth_largest_prefix16
     real = keep_elements if keep_elements is not None else M * N
     keep = real - int(real * discard_ratio)
 

@@ -299,6 +299,61 @@ def test_kth_largest_mixed_sign(rng):
         np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
 
 
+def test_kth_largest_signed_any_sign_pattern(rng):
+    """kth_largest_signed must be exact for ANY sign pattern — including
+    all-negative maps (measured on real CaiT talking-heads maps, where
+    10/24 layers were entirely negative on seeded weights; caught by
+    tests/test_reference_groundtruth.py)."""
+    from protopformer_tpu.ops.rollout import (
+        kth_largest_bf16_signed,
+        kth_largest_signed,
+    )
+
+    cases = [
+        rng.normal(size=(4, 999)).astype(np.float32),          # mixed
+        -np.abs(rng.normal(size=(4, 999))).astype(np.float32),  # all-neg
+        np.abs(rng.normal(size=(4, 999))).astype(np.float32),   # all-pos
+    ]
+    for x in cases:
+        xj = jnp.asarray(x)
+        for keep in (1, 10, 100, 999):
+            want = jax.lax.top_k(xj, keep)[0][:, -1]
+            got = kth_largest_signed(xj, keep)
+            np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+        xb = xj.astype(jnp.bfloat16)
+        for keep in (10, 100):
+            want = jax.lax.top_k(xb.astype(jnp.float32), keep)[0][:, -1]
+            got = kth_largest_bf16_signed(xb, keep).astype(jnp.float32)
+            # bf16 ties: the returned threshold keeps >= keep elements
+            cnt = jnp.sum(
+                (xb.astype(jnp.float32) >= got[:, None]).astype(np.int32),
+                axis=-1,
+            )
+            assert (np.asarray(cnt) >= keep).all()
+            np.testing.assert_allclose(
+                np.asarray(got), np.asarray(want), rtol=1e-2
+            )
+
+
+def test_masked_map_stats_signed_all_negative(rng):
+    """masked_map_stats(signed=True) on an all-negative map must keep the
+    top-10% (least-negative) entries, like torch's topk-scatter."""
+    import torch
+
+    from protopformer_tpu.ops.rollout import masked_map_stats
+
+    x = -np.abs(rng.normal(size=(2, 196, 196))).astype(np.float32)
+    t, s = masked_map_stats(jnp.asarray(x), 0.9, True, signed=True)
+    # torch reference semantics (cait_models_attn.py:234-237)
+    ref = torch.from_numpy(x.copy())
+    flat = ref.view(2, -1)
+    _, idx = flat.topk(int(flat.shape[-1] * 0.9), -1, False)
+    flat.scatter_(1, idx, 0)
+    want_s = ref.sum(-1).numpy()
+    np.testing.assert_allclose(np.asarray(s), want_s, atol=1e-5)
+    assert (np.asarray(t) < 0).all()
+
+
 def test_kth_largest_static_bound_bit_identical(rng):
     """A static ``bound`` shrinks the unrolled pass count (1.0 -> 30/14
     passes for fp32/bf16); the result must stay BIT-identical to top_k —
