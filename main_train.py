@@ -133,7 +133,11 @@ def get_args_parser() -> argparse.ArgumentParser:
                    help="evaluate the EMA weights instead of the live ones")
     p.add_argument("--num_workers", default=10, type=int)
     p.add_argument("--pretrained_ckpt", default="",
-                   help=".pth with timm backbone weights to convert+load")
+                   help="backbone weights to convert+load: a .pth path, an "
+                        "http(s):// URL, or a registered architecture name "
+                        "(e.g. deit_tiny_patch16_224 — fetches the stock "
+                        "FB weights into the cache like the reference's "
+                        "pretrained=True; ref: tools/deit_features.py:10-62)")
     p.add_argument("--compute_dtype", default="bfloat16",
                    choices=["bfloat16", "float32"])
     p.add_argument("--native_decode", type=str2bool, default=False,
@@ -377,21 +381,13 @@ def main(args) -> dict:
         # literal "latest" for this run's own output_dir.
         resume = cfg.train.resume
         epoch_arg = None
-        if resume.startswith(("http://", "https://")):
+        if resume.startswith(("http://", "https://", "file://")):
             # URL checkpoints (ref: main.py:394-396
-            # torch.hub.load_state_dict_from_url): download once into a
-            # local cache, then ingest as a reference .pth below
-            import urllib.request
+            # torch.hub.load_state_dict_from_url): download once into the
+            # shared cache, then ingest as a reference .pth below
+            from protopformer_tpu.checkpoint import download_to_cache
 
-            cache = os.path.join(
-                os.path.expanduser("~"), ".cache", "protopformer_tpu"
-            )
-            os.makedirs(cache, exist_ok=True)
-            local = os.path.join(cache, os.path.basename(resume) or "ckpt.pth")
-            if not os.path.isfile(local):
-                logger.info(f"downloading --resume checkpoint {resume}")
-                urllib.request.urlretrieve(resume, local)
-            resume = local
+            resume = download_to_cache(resume, progress_logger=logger)
         if os.path.isfile(resume):
             # reference-side torch checkpoint file (ref: main.py:397-407):
             # restore the MODEL via the converter; torch optimizer moments

@@ -1,3 +1,8 @@
+from protopformer_tpu.checkpoint.pretrained import (
+    PRETRAINED_URLS,
+    download_to_cache,
+    resolve_pretrained,
+)
 from protopformer_tpu.checkpoint.torch_convert import (
     convert_deit_state_dict,
     convert_cait_state_dict,

@@ -204,12 +204,16 @@ def convert_cait_state_dict(
 
 def load_pretrained_backbone(path: str, backbone_cfg) -> Tree:
     """One-call pretrained ingestion (the ``--pretrained_ckpt`` path):
-    deserialize a timm/FB ``.pth`` from disk, unwrap ``{"model": ...}`` /
-    ``module.`` conventions, convert to the backbone params tree, and
-    bicubic-resize the pos-embed if the configured input size differs
-    (replaces the reference's torch.hub download + strict=False load —
-    ref: tools/deit_features.py:26-62, deit_models_attn.py:292-296)."""
-    sd = load_torch_checkpoint(path)
+    resolve a registered arch name / URL / local path (cached download —
+    checkpoint/pretrained.py), deserialize the timm/FB ``.pth``, unwrap
+    ``{"model": ...}`` / ``module.`` conventions, convert to the backbone
+    params tree, and bicubic-resize the pos-embed if the configured input
+    size differs (replaces the reference's torch.hub download +
+    strict=False load — ref: tools/deit_features.py:10-62,
+    deit_models_attn.py:292-296)."""
+    from protopformer_tpu.checkpoint.pretrained import resolve_pretrained
+
+    sd = load_torch_checkpoint(resolve_pretrained(path))
     if backbone_cfg.arch == "deit":
         return convert_deit_state_dict(
             sd, backbone_cfg.depth, backbone_cfg.num_patches
