@@ -14,10 +14,28 @@ Replaces the reference's timm ``create_transform`` pipeline
 Normalization itself happens ON DEVICE (data/preprocess.py) so host output
 is plain float32 RGB in [0,1] (or uint8 for views).
 
-RandAugment here follows the timm policy semantics (2 ops per image,
-magnitude 9 of 31 with sigma-0.5 gaussian jitter, 'inc1' increasing-severity
-transforms) without bit-level claims — augmentation randomness is not a
-parity surface.
+RandAugment follows timm 0.5.4 semantics exactly (2 ops per image, each
+applied with prob 0.5 at a gauss(9, 0.5)-jittered magnitude on the 0-10
+level scale, 'inc1' increasing-severity transforms, per-op argument
+formulas from timm/data/auto_augment.py @ 0.5.4) — pinned per-op by
+tests/test_aug_fidelity.py. timm quirks preserved:
+
+  * color jitter is DISABLED when auto-augment is active (the reference
+    passes both color_jitter=0.4 and aa — timm's create_transform only
+    applies jitter in the ``elif color_jitter`` branch, so the trained
+    recipe has NO jitter);
+  * random erasing ('pixel' mode) runs after normalization in timm and
+    writes standard-normal noise; here erasing runs pre-normalization
+    (normalize happens on device), so the noise is N(mean_c, std_c) per
+    channel — the exact preimage of N(0, 1) under the device normalize;
+  * PosterizeIncreasing reaches bits=0 (a black image) when the jittered
+    magnitude clips at 10 (~2% of applications at m9/mstd0.5).
+
+Known deviations (quantified, not load-bearing): the RandomResizedCrop
+10-attempt fallback is a center square crop vs timm's ratio-clamped crop
+(hit only for extreme aspect ratios), and the RNG is numpy instead of
+python/torch RNG — the sampling DISTRIBUTIONS match, the streams don't
+(augmentation randomness is not a parity surface).
 """
 
 from __future__ import annotations
@@ -27,7 +45,10 @@ from typing import Callable, Optional, Tuple
 import numpy as np
 from PIL import Image, ImageEnhance, ImageOps
 
-_MAX_LEVEL = 31.0
+# timm 0.5.4 magnitude denominator (auto_augment.py ``_MAX_LEVEL = 10.``):
+# 'm9' means 9/10 severity. (Round-3 used 31 — the TF-RandAugment scale —
+# which under-drove every op to ~29% of the trained recipe's strength.)
+_MAX_LEVEL = 10.0
 _FILL = (124, 116, 104)
 
 
@@ -80,7 +101,12 @@ def _enhance(factory):
 
 
 def _posterize(img, bits):
-    return ImageOps.posterize(img, max(1, int(bits)))
+    # timm 0.5.4 PosterizeIncreasing reaches bits=0 at max magnitude; PIL
+    # posterize keeps the top ``bits`` bits, so 0 bits is a black image
+    bits = int(bits)
+    if bits <= 0:
+        return Image.new(img.mode, img.size, 0)
+    return ImageOps.posterize(img, min(bits, 8))
 
 
 def _solarize(img, thresh):
@@ -97,21 +123,23 @@ def _rotate(img, degrees):
     return img.rotate(degrees, Image.BICUBIC, fillcolor=_FILL)
 
 
-# (name, apply(img, magnitude_fraction in [-1,1]))
+# (name, apply(img, magnitude_fraction in [-1,1])) — the 15 transforms of
+# timm 0.5.4 _RAND_INCREASING_TRANSFORMS with their exact level->arg
+# formulas (auto_augment.py: rotate 30deg, shear 0.3, translate-rel 0.45,
+# enhance 1±0.9*frac, posterize 4-int(4*frac) bits, solarize
+# 256-int(256*frac), solarize-add int(110*frac)); ops whose timm level_fn
+# has no _randomly_negate take abs(m)
 def _randaug_ops():
-    def signed(scale):
-        return lambda m: m * scale
-
     return [
         ("AutoContrast", lambda im, m: ImageOps.autocontrast(im)),
         ("Equalize", lambda im, m: ImageOps.equalize(im)),
         ("Invert", lambda im, m: ImageOps.invert(im)),
         ("Rotate", lambda im, m: _rotate(im, m * 30.0)),
         # 'inc1': PosterizeIncreasing — more magnitude = fewer bits
-        ("Posterize", lambda im, m: _posterize(im, 4 - abs(m) * 4 * 0.999 + 0.5)),
+        ("Posterize", lambda im, m: _posterize(im, 4 - int(abs(m) * 4))),
         # SolarizeIncreasing: more magnitude = lower threshold
-        ("Solarize", lambda im, m: _solarize(im, 256 - abs(m) * 256)),
-        ("SolarizeAdd", lambda im, m: _solarize_add(im, abs(m) * 110)),
+        ("Solarize", lambda im, m: _solarize(im, 256 - int(abs(m) * 256))),
+        ("SolarizeAdd", lambda im, m: _solarize_add(im, int(abs(m) * 110))),
         ("Color", lambda im, m: _enhance(ImageEnhance.Color)(im, m * 0.9)),
         ("Contrast", lambda im, m: _enhance(ImageEnhance.Contrast)(im, m * 0.9)),
         ("Brightness", lambda im, m: _enhance(ImageEnhance.Brightness)(im, m * 0.9)),
@@ -147,8 +175,18 @@ class RandAugment:
 
 
 class RandomErasing:
-    """timm RandomErasing, 'pixel' mode: replace a random rectangle of the
-    float image with per-pixel gaussian noise (applied post-scaling)."""
+    """timm RandomErasing, 'pixel' mode.
+
+    timm erases AFTER normalization with standard-normal noise per pixel
+    (timm/data/random_erasing.py ``.normal_()``); this pipeline normalizes
+    ON DEVICE, so the pre-normalization equivalent is N(mean_c, std_c) per
+    channel — the device's (x - mean)/std maps the region back to exactly
+    N(0, 1). Values may leave [0, 1], as timm's do post-norm.
+    """
+
+    # ImageNet constants (data/preprocess.py; ref: tools/preprocess.py:3-4)
+    _MEAN = np.array([0.485, 0.456, 0.406], np.float32)
+    _STD = np.array([0.229, 0.224, 0.225], np.float32)
 
     def __init__(self, prob=0.25, scale=(0.02, 1 / 3), ratio=(0.3, 3.3)):
         self.prob = prob
@@ -169,8 +207,9 @@ class RandomErasing:
             if eh < h and ew < w:
                 y = rng.integers(0, h - eh + 1)
                 x = rng.integers(0, w - ew + 1)
-                arr[y:y + eh, x:x + ew] = rng.normal(
-                    0.5, 0.25, size=(eh, ew, arr.shape[2])
+                noise = rng.normal(size=(eh, ew, arr.shape[2]))
+                arr[y:y + eh, x:x + ew] = (
+                    self._MEAN + self._STD * noise
                 ).astype(arr.dtype)
                 break
         return arr
@@ -194,6 +233,10 @@ def build_train_transform(
             elif tok.startswith("m"):
                 mag = int(tok[1:])
         randaug = RandAugment(num_ops=2, magnitude=mag, magnitude_std=mstd)
+        # timm create_transform applies color jitter ONLY when auto-augment
+        # is off (transforms_factory.py ``elif color_jitter is not None``) —
+        # the reference passes both, so its trained recipe has no jitter
+        color_jitter = 0.0
     erasing = RandomErasing(prob=reprob) if reprob > 0 else None
 
     def transform(img, rng: np.random.Generator) -> np.ndarray:
