@@ -7,8 +7,8 @@
 # baseline program and null the A/B).
 #
 # Usage: bash scripts/flag_sweep.sh [specs...]   (default: 0:160:4 1:160:1)
-set -u
-cd "$(dirname "$0")/.."
+set -u -o pipefail
+cd "$(dirname "$0")/.." || exit 1
 export PYTHONPATH="$PWD${PYTHONPATH:+:$PYTHONPATH}"
 SPECS=${@:-"0:160:4 1:160:1"}
 declare -A FLAGS=(
@@ -22,4 +22,7 @@ for name in baseline vmem48m vmem64m lhs; do
   LIBTPU_INIT_ARGS="${FLAGS[$name]}" \
   PPF_TPU_CACHE_DIR="/tmp/ppf_cache_${name}" \
     timeout 1200 python scripts/r3_sweep.py $SPECS 2>&1 | grep -v WARNING
+  rc=${PIPESTATUS[0]}
+  # surface failed/timed-out runs (exit 124) instead of silently moving on
+  [ "$rc" -ne 0 ] && echo "!!! ${name}: run FAILED rc=${rc}"
 done

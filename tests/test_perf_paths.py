@@ -217,3 +217,31 @@ def test_fast_layernorm_contract(rng=np.random.default_rng(11)):
     # are unit-scale so the absolute bound is a few bf16 ULPs
     assert np.abs(a - b).max() < 0.08, np.abs(a - b).max()
     assert np.sqrt(((a - b) ** 2).mean()) < 0.008
+
+
+def test_bench_modes_share_rep_methodology():
+    """The round-3 exact-mode record was depressed by a shorter timing
+    window (13-iter reps vs the sweep's 40 — the ~30ms tunnel sync was
+    ~25% of the rep). Pin that bench.py gives BOTH modes the same rep
+    structure and that main() doesn't override it for the exact mode."""
+    import ast
+    import inspect
+
+    import bench
+
+    sig = inspect.signature(bench._measure_mode)
+    assert sig.parameters["rep_iters"].default == 40
+    assert sig.parameters["reps"].default == 3
+
+    # main() must call _measure_mode without shrinking the window
+    tree = ast.parse(inspect.getsource(bench.main))
+    calls = [
+        n for n in ast.walk(tree)
+        if isinstance(n, ast.Call)
+        and getattr(n.func, "id", "") == "_measure_mode"
+    ]
+    assert len(calls) == 2
+    for c in calls:
+        assert {k.arg for k in c.keywords} <= {"exact"}, (
+            "bench.main must not override the shared rep methodology"
+        )
