@@ -238,6 +238,53 @@ def bench_train(batch_size: int = 256, reps: int = 3, rep_iters: int = 20):
     return best
 
 
+def bench_serve(n_images: int = 10240, batch_size: int = 160):
+    """ServingEngine sustained rate on a chunked 10k-image request with
+    device-resident inputs (VERDICT r3 #7). Run: ``python bench.py serve``.
+
+    Measures the engine's full pipeline — 64 chunk dispatches with the
+    ordering token, tail pad/unpad, on-device concat, one fetch — without
+    the dev tunnel's network H2D (which binds any end-to-end number here
+    but not on a real TPU host; serving.py module docstring).
+    ``vs_baseline`` is the ratio to the official bench.py headline path
+    (same model/recipe as ``main()``): >=0.9 means the serving wrapper
+    costs <=10% over the raw jitted forward."""
+    from protopformer_tpu.core.config import PPNetConfig, backbone_preset
+    from protopformer_tpu.serving import ServingEngine
+
+    backbone = backbone_preset(
+        "deit_tiny_patch16_224",
+        rollout_exact_discard=False, rollout_discard_sample=4,
+    )
+    ppnet_cfg = PPNetConfig(
+        prototype_shape=(2000, 192, 1, 1), num_classes=200,
+        reserve_layers=(11,), reserve_token_nums=(81,),
+        use_global=True, global_proto_per_class=10,
+    )
+    from protopformer_tpu.models import construct_ppnet
+
+    rng = jax.random.key(1028)
+    model = construct_ppnet(backbone, ppnet_cfg, compute_dtype=jnp.bfloat16)
+    params = model.init(rng, jnp.zeros((1, 224, 224, 3)))["params"]
+    engine = ServingEngine(
+        backbone, ppnet_cfg, params, batch_size=batch_size,
+        compute_dtype=jnp.bfloat16,
+    )
+    probe = engine.throughput_probe(n_images=n_images)
+    # the raw jitted-forward rate measured the same way (official headline)
+    raw, _ = _measure_mode(exact=False, batch_size=batch_size)
+    print(json.dumps({
+        "metric": "deit_tiny_ppnet_serving_throughput",
+        "value": round(probe["img_per_sec"], 1),
+        "unit": "images/sec/chip",
+        "vs_baseline": round(probe["img_per_sec"] / raw, 3),
+        "best_img_per_sec": round(probe["best_img_per_sec"], 1),
+        "raw_forward_img_per_sec": round(raw, 1),
+        "n_images": probe["n_images"],
+        "chunks": probe["chunks"],
+    }))
+
+
 def bench_host(n_images: int = 512, size=(500, 375), num_workers: int = 8):
     """Host data-pipeline line rate (img/s) for the PIL and native C++
     eval paths on CUB-resolution JPEGs. Run: ``python bench.py host``.
@@ -326,6 +373,11 @@ if __name__ == "__main__":
 
         enable_compilation_cache()
         bench_train()
+    elif len(sys.argv) > 1 and sys.argv[1] == "serve":
+        from protopformer_tpu.utils.cache import enable_compilation_cache
+
+        enable_compilation_cache()
+        bench_serve()
     else:
         # outer retry: backend-INIT failures (tunnel outage) raise before
         # main()'s inner compile/run retry loop is reached

@@ -126,10 +126,10 @@ class BackboneConfig:
                 raise ValueError(
                     f"BackboneConfig.{name}={value!r} not in {allowed}"
                 )
-        if self.rollout_discard_sample not in (1, 2, 4):
+        if self.rollout_discard_sample not in (1, 2, 4, 8):
             raise ValueError(
                 "BackboneConfig.rollout_discard_sample="
-                f"{self.rollout_discard_sample!r} not in (1, 2, 4)"
+                f"{self.rollout_discard_sample!r} not in (1, 2, 4, 8)"
             )
         if self.rollout_discard_sample != 1 and self.rollout_exact_discard:
             raise ValueError(

@@ -137,12 +137,25 @@ def consistency_score(
 
     # on-device ImageNet normalize of the [0,1] host batch (the reference
     # normalizes inside its eval transform — eval_interpretability.py:170-176)
-    push = jax.jit(
-        lambda p, im: model.apply(
+    # + on-device gather of the label's ppc maps: fetching the full
+    # (B, P, k, k) tensor costs ~166 MB/batch at bs=256/P=2000 and swamps
+    # the host link; the label gather is a bit-neutral reorder of the
+    # reference's host-side select (ref :198-202), cutting the fetch to
+    # (B, ppc, k, k) ~ 0.8 MB (200x less D2H traffic)
+    def _push(p, im, labels):
+        import jax.numpy as jnp
+
+        out = model.apply(
             {"params": p}, normalize_images(im),
             method=lambda m, x: m.push_forward(x),
         )
-    )
+        idx = labels[:, None] * ppc + jnp.arange(ppc)[None, :]
+        sel = jnp.take_along_axis(
+            out.proto_acts, idx[:, :, None, None], axis=1
+        )
+        return out.cls_token_attn, sel
+
+    push = jax.jit(_push)
     if mesh is not None:
         from protopformer_tpu.parallel.mesh import (
             batch_sharding,
@@ -152,11 +165,15 @@ def consistency_score(
         params = jax.device_put(params, replicated_sharding(mesh))
         _shard = batch_sharding(mesh)
 
-        def dispatch(images):
-            return push(params, jax.device_put(images, _shard))
+        def dispatch(images, labels):
+            return push(
+                params,
+                jax.device_put(images, _shard),
+                jax.device_put(np.asarray(labels), _shard),
+            )
     else:
-        def dispatch(images):
-            return push(params, images)
+        def dispatch(images, labels):
+            return push(params, images, np.asarray(labels))
 
     # per-prototype accumulators
     hit_sum = np.zeros((P, cfg.num_parts), np.float64)
@@ -169,18 +186,14 @@ def consistency_score(
 
     def match_batch(out, batch):
         nonlocal seen
-        cls_attn = np.asarray(out.cls_token_attn)
-        acts = np.asarray(out.proto_acts)  # (B, P, k, k)
+        cls_attn = np.asarray(out[0])
+        sel = np.asarray(out[1])  # (B, ppc, k, k) — label-gathered on device
         labels = np.asarray(batch["label"])
         valid = np.asarray(batch.get("valid", np.ones(labels.shape[0])))
         pos = np.asarray(batch["position"])
         B = labels.shape[0]
-        K = acts.shape[-1] ** 2
+        K = sel.shape[-1] ** 2
         grid_len = cls_attn.shape[-1]
-        # select the label's ppc maps BEFORE the host scatter: (B, ppc, k, k)
-        sel = np.stack([
-            acts[b, labels[b] * ppc:(labels[b] + 1) * ppc] for b in range(B)
-        ])
         grid = scatter_activations_to_grid(
             sel.reshape(B, ppc, K), cls_attn, grid_len
         )  # (B, ppc, g, g)
@@ -208,7 +221,7 @@ def consistency_score(
     # one-deep pipeline: dispatch k+1, then fetch/match k
     inflight = None
     for batch in loader:
-        out = dispatch(batch["image"])
+        out = dispatch(batch["image"], batch["label"])
         if inflight is not None:
             match_batch(*inflight)
         inflight = (out, batch)

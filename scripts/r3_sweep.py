@@ -83,8 +83,16 @@ def main():
     specs = sys.argv[1:] or ["0:160:4"]
     built = []
     for s in specs:
-        exact, batch, sample = (int(v) for v in s.split(":"))
-        built.append((s, build(bool(exact), batch, sample)))
+        parts = s.split(":")
+        exact, batch, sample = (int(v) for v in parts[:3])
+        # optional 4th field: comma-separated BackboneConfig overrides,
+        # e.g. 0:160:4:quantize=int8,use_pallas=on
+        overrides = {}
+        if len(parts) > 3 and parts[3]:
+            for kv in parts[3].split(","):
+                k, v = kv.split("=")
+                overrides[k] = v
+        built.append((s, build(bool(exact), batch, sample, **overrides)))
         print(f"built {s}", flush=True)
     best = {s: (1e9, 0.0) for s, _ in built}
     for rep in range(3):

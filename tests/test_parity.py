@@ -241,6 +241,10 @@ def test_deit_tiny_real_scale_parity():
         # ~3%-of-keep rank error only moves borderline map entries;
         # measured 77-80/81 with drops at fp32 rank >= 69 on this fixture
         (False, "fp32", 4, 73, 60),
+        # 1/8 sampling: measured 77-78/81 with drops at fp32 rank >= 65 on
+        # this fixture — contract-equal to sample=4 (the rank error grows
+        # ~sqrt(2)x but stays far inside the borderline tail)
+        (False, "fp32", 8, 73, 60),
     ])
 def test_deit_tiny_bf16_speed_mode_selection_contract(
     exact_discard, ln_stats, sample, min_overlap, min_rank
