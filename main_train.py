@@ -460,6 +460,26 @@ def main(args) -> dict:
         print(json.dumps(stats))
         return stats
 
+    # Re-compile the train step with compiler-chosen (AUTO) layouts on the
+    # loop-carried state and stage the (possibly just-restored) state in
+    # them: +4.8% step throughput on v5e (train/steps.py helper docstring).
+    # Same program semantics; falls back to the default-layout step on
+    # backends without the layout API.
+    try:
+        from protopformer_tpu.train.steps import compile_train_step_auto
+
+        example_batch = {
+            "image": np.zeros((train_bs, img_size, img_size, 3), np.float32),
+            "label": np.zeros((train_bs,), np.int32),
+        }
+        train_step, state = compile_train_step_auto(
+            model, cfg.ppnet, cfg.optim, state, example_batch, rng,
+            smoothing=0.0 if mixup else smoothing, mixup=mixup, mesh=mesh,
+        )
+    except Exception as e:  # pragma: no cover - backend-dependent
+        logger.warning(f"AUTO-layout train step unavailable ({e!r}); "
+                       "using default layouts")
+
     best_acc = 0.0
     global_iter = 0
     step_rng = jax.random.fold_in(rng, 17)

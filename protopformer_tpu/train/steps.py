@@ -54,6 +54,7 @@ def make_train_step(
     mesh: Optional[Mesh] = None,
     donate: bool = True,
     normalize: bool = True,
+    jit: bool = True,
 ) -> Callable:
     """Build the jitted train step.
 
@@ -128,6 +129,11 @@ def make_train_step(
         new_state = state.apply_gradients(grads, ema_decay)
         return new_state, metrics
 
+    if not jit:
+        # raw step for callers that wrap it themselves (e.g. the layout
+        # A/B in scripts/train_layout_ab.py jits with AUTO input formats)
+        return train_step
+
     if mesh is None:
         return jax.jit(train_step, donate_argnums=(0,) if donate else ())
 
@@ -139,6 +145,81 @@ def make_train_step(
         out_shardings=(repl, repl),
         donate_argnums=(0,) if donate else (),
     )
+
+
+def compile_train_step_auto(
+    model,
+    ppnet_cfg: Optional[PPNetConfig],
+    optim_cfg: OptimConfig,
+    state: TrainState,
+    example_batch,
+    rng,
+    smoothing: float = 0.0,
+    mixup=None,
+    mesh: Optional[Mesh] = None,
+    normalize: bool = True,
+):
+    """Compile the train step with compiler-chosen (AUTO) layouts on the
+    STATE and return ``(step, staged_state)``.
+
+    The state is the donated, loop-carried operand — its layouts are where
+    the VJP's transpose copies live (fc2/drop_path — docs/DESIGN.md round-3
+    roadmap #4). Letting the compiler pick them and STAGING the state in
+    those layouts measured +4.8%% train throughput on v5e
+    (scripts/train_layout_ab.py; docs/DESIGN.md round-4). AUTO on inputs
+    AND outputs keeps the donated state's in/out formats consistent.
+
+    The batch keeps default layouts: host numpy arrives per step, and
+    ``jax.device_put`` cannot honor the exotic tilings AUTO picks for
+    large f32 inputs on every backend (measured failure on the axon
+    plugin), while the in-program relayout it avoids costs the same in
+    both variants.
+
+    The returned ``step`` has the ``make_train_step`` signature
+    ``(state, batch, rng, ppc_gate) -> (state, metrics)`` and stages each
+    host batch itself, so it is a drop-in for ``train_one_epoch``.
+    """
+    from jax.experimental.layout import Format, Layout
+
+    raw = make_train_step(
+        model, ppnet_cfg, optim_cfg, smoothing=smoothing, mixup=mixup,
+        normalize=normalize, jit=False,
+    )
+    auto = Format(Layout.AUTO)
+    if mesh is None:
+        in_sh = (auto, None, None, None)
+        out_sh = (auto, None)
+    else:
+        repl = NamedSharding(mesh, P())
+        data = NamedSharding(mesh, P("data"))
+        auto = Format(Layout.AUTO, repl)
+        in_sh = (auto, {"image": data, "label": data}, repl, repl)
+        out_sh = (auto, repl)
+    gate = jnp.float32(0.0)
+    # lower against abstract state args: AUTO layouts reject concrete
+    # jax.Arrays (which already carry a layout) when a sharding is attached
+    state_abs = jax.tree_util.tree_map(
+        lambda a: jax.ShapeDtypeStruct(jnp.shape(a), jnp.result_type(a)),
+        state,
+    )
+    compiled = (
+        jax.jit(raw, in_shardings=in_sh, out_shardings=out_sh,
+                donate_argnums=(0,))
+        .lower(state_abs, example_batch, rng, gate)
+        .compile()
+    )
+    state_f, batch_f = compiled.input_formats[0][:2]
+    staged = jax.tree_util.tree_map(
+        lambda a, f: jax.device_put(a, f), state, state_f
+    )
+
+    def step(state, batch, rng, ppc_gate):
+        batch = jax.tree_util.tree_map(
+            lambda a, f: jax.device_put(a, f), dict(batch), batch_f
+        )
+        return compiled(state, batch, rng, jnp.float32(ppc_gate))
+
+    return step, staged
 
 
 def make_eval_step(

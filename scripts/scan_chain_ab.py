@@ -7,10 +7,18 @@ the device never starves — but each execute call is still an RPC through
 the remote-TPU tunnel, and any host-side dispatch jitter shows up as
 device idle. This script measures the alternative: the whole 40-iter
 chain as ONE jitted ``lax.fori_loop`` body (zero host involvement after
-dispatch), over the SAME device-resident batch. If the fori_loop rate is
-materially higher, the official methodology is under-measuring the chip;
-if equal, dispatch pipelining is confirmed free and the wall-clock
-residual is on-device fusion scheduling (docs/DESIGN.md round-3 floors).
+dispatch). If the fori_loop rate is materially higher, the official
+methodology is under-measuring the chip; if equal, dispatch pipelining
+is confirmed free and the wall-clock residual is on-device fusion
+scheduling (docs/DESIGN.md round-3 floors).
+
+LICM guard: with a loop-invariant batch, XLA hoists the ENTIRE forward
+out of the fori_loop (first run measured 175k img/s — 2.2x the bf16
+roofline for DeiT-Ti on v5e, i.e. 39 of 40 forwards eliminated). The
+body therefore selects between TWO device-resident batches (identical
+content, distinct buffers) by loop parity: the forward depends on ``i``,
+so it cannot be hoisted, and the per-iter select costs only one ~24 MB
+VMEM-rate copy.
 
 Run: PYTHONPATH=.:$PYTHONPATH python scripts/scan_chain_ab.py [exact]
 """
@@ -69,19 +77,28 @@ x = jax.device_put(np.asarray(x), x_f)
 np.asarray(compiled(jnp.float32(0), params, x))  # warm
 
 # the fori_loop variant compiles the SAME step body, iterated on device;
-# inputs staged with the same AUTO formats the step program chose
-def chain(acc0, p, im):
-    return jax.lax.fori_loop(
-        0, ITERS, lambda i, acc: forward(acc, p, im), acc0
-    )
+# inputs staged with the same AUTO formats the step program chose. Two
+# identical-content batches selected by loop parity defeat LICM (module
+# docstring).
+x2 = jax.device_put(np.asarray(x), x_f)
+
+
+def chain(acc0, p, im_a, im_b):
+    def body(i, acc):
+        im = jax.lax.cond(
+            i % 2 == 0, lambda: im_a, lambda: im_b
+        )
+        return forward(acc, p, im)
+
+    return jax.lax.fori_loop(0, ITERS, body, acc0)
 
 
 chain_c = (
     jax.jit(chain)
-    .lower(jnp.float32(0), params, x)
+    .lower(jnp.float32(0), params, x, x2)
     .compile()
 )
-np.asarray(chain_c(jnp.float32(0), params, x))  # warm
+np.asarray(chain_c(jnp.float32(0), params, x, x2))  # warm
 
 rows = []
 for rep in range(REPS):
@@ -94,7 +111,7 @@ for rep in range(REPS):
     dt_a = time.perf_counter() - t0
     # B: one on-device chain
     t0 = time.perf_counter()
-    np.asarray(chain_c(jnp.float32(0), params, x))
+    np.asarray(chain_c(jnp.float32(0), params, x, x2))
     dt_b = time.perf_counter() - t0
     rows.append((dt_a, dt_b))
     print(

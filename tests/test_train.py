@@ -210,6 +210,53 @@ def test_train_step_on_8_device_mesh():
     assert 0.0 <= float(em["correct1"]) <= 16.0
 
 
+def test_auto_layout_step_matches_default():
+    """compile_train_step_auto is the SAME program as make_train_step with
+    compiler-chosen state layouts — one step from identical state/batch/rng
+    must produce identical metrics and updated params (fp32 CPU: bitwise)."""
+    from protopformer_tpu.train.steps import compile_train_step_auto
+
+    model, state = _setup()
+    batch = _batch()
+    rng = jax.random.key(3)
+    default_step = make_train_step(model, TINY_PP, OPT, donate=False)
+    s_ref, m_ref = default_step(state, batch, rng, jnp.float32(1.0))
+
+    model2, state2 = _setup()
+    auto_step, staged = compile_train_step_auto(
+        model2, TINY_PP, OPT, state2, batch, rng
+    )
+    s_auto, m_auto = auto_step(staged, batch, rng, jnp.float32(1.0))
+    assert np.allclose(float(m_auto["loss"]), float(m_ref["loss"]), atol=0)
+    np.testing.assert_array_equal(
+        np.asarray(s_auto.params["prototype_vectors"]),
+        np.asarray(s_ref.params["prototype_vectors"]),
+    )
+    # the staged state is donated; the returned state must chain
+    s_auto2, m2 = auto_step(s_auto, batch, rng, jnp.float32(1.0))
+    assert np.isfinite(float(m2["loss"]))
+    assert int(s_auto2.step) == 2
+
+
+def test_auto_layout_step_on_8_device_mesh():
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from protopformer_tpu.train.steps import compile_train_step_auto
+
+    assert jax.device_count() >= 8, "conftest must provide 8 CPU devices"
+    mesh = make_mesh(jax.devices()[:8])
+    model, state = _setup()
+    state = jax.device_put(state, NamedSharding(mesh, P()))
+    batch = _batch(B=16)
+    step, staged = compile_train_step_auto(
+        model, TINY_PP, OPT, state, batch, jax.random.key(0), mesh=mesh
+    )
+    # host numpy batches must be accepted (the step stages them itself)
+    state2, metrics = step(staged, batch, jax.random.key(0), 1.0)
+    assert np.isfinite(float(metrics["loss"]))
+    assert state2.params["prototype_vectors"].sharding.is_fully_replicated
+
+
 def test_eval_step_valid_mask():
     model, state = _setup()
     eval_step = make_eval_step(model, True)
