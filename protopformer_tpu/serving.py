@@ -232,11 +232,18 @@ class ServingEngine:
             t0 = time.perf_counter()
             logits = []
             token = jnp.float32(0)
-            for dev_chunk, real in chunks:
+            for dev_chunk, _real in chunks:
                 out = self._forward(self._params, dev_chunk, token)
                 token = out["token"]
-                logits.append(out["logits"][:real])
-            np.asarray(jnp.concatenate(logits))  # one fetch, full sync
+                # keep the FULL chunk output: a per-chunk [:real] slice is
+                # an un-chained dispatch that serializes at one tunnel RTT
+                # per chunk (measured: 64 slices cost 0.35x the raw rate);
+                # only the tail chunk is padded, so one slice after the
+                # concat drops exactly the padding rows
+                logits.append(out["logits"])
+            np.asarray(
+                jnp.concatenate(logits)[:n_images]
+            )  # one slice + fetch, full sync
             return time.perf_counter() - t0
 
         dts = [run_once() for _ in range(reps)]
@@ -301,9 +308,13 @@ class ServingEngine:
             dev_chunk, real = staged[i]
             out = self._forward(self._params, dev_chunk, token)
             token = out["token"]
-            logits.append(out["logits"][:real])
+            del real  # tail padding is dropped by ONE slice after the
+            # concat — a per-chunk [:real] slice is an un-chained dispatch
+            # costing one tunnel RTT per chunk (only the last chunk is
+            # padded, so concat[:n] is exactly equivalent)
+            logits.append(out["logits"])
             if self.with_attn:
-                attns.append(out["cls_token_attn"][:real])
+                attns.append(out["cls_token_attn"])
             nxt = i + self.stage_window
             if nxt < len(starts):
                 if i >= 1:
@@ -315,11 +326,12 @@ class ServingEngine:
                 self.last_peak_staged,
                 sum(1 for s in staged if s is not None),
             )
-        # concatenate ON DEVICE and fetch once — each host fetch is a full
-        # round trip (~30-500 ms through a remote tunnel)
-        logits = np.asarray(jnp.concatenate(logits))
+        # concatenate ON DEVICE, drop the tail padding with one slice, and
+        # fetch once — each host fetch is a full round trip (~30-500 ms
+        # through a remote tunnel)
+        logits = np.asarray(jnp.concatenate(logits)[:n])
         attns = (
-            [np.asarray(jnp.concatenate(attns))] if attns else []
+            [np.asarray(jnp.concatenate(attns)[:n])] if attns else []
         )
         return ServingResult(
             logits=logits,
