@@ -40,6 +40,7 @@ pytestmark = pytest.mark.skipif(
     not reference_available(), reason="/root/reference not present"
 )
 
+import jax  # noqa: E402
 import jax.numpy as jnp  # noqa: E402
 
 from protopformer_tpu.checkpoint import convert_ppnet_state_dict  # noqa: E402
@@ -222,3 +223,118 @@ def test_push_forward_groundtruth(pair):
     np.testing.assert_allclose(
         np.asarray(got.proto_acts), pa, atol=1e-4
     )
+
+
+# --- gradient-level ground truth (VERDICT r4 #3) -------------------------
+#
+# Forward parity cannot catch a shared misreading of backward-relevant
+# semantics: the rollout detach (ref: tools/deit_models_attn.py:225), PPC's
+# gather/scatter VJP (ref: protopformer.py:268-276), and the frozen-head
+# grad exclusion (ref: protopformer.py:126-131). These tests run torch
+# autograd on the REAL reference modules and compare against jax.grad of
+# the same loss (CE + 0.1*cov + 0.5*mean — the engine's composition,
+# ref: tools/engine_proto.py:51-64) through the converter mapping.
+#
+# The torch gradient dict is mapped to the jax params layout by
+# convert_ppnet_state_dict itself: the converter is a pure element
+# permutation (transposes / reshapes / qkv splits), so it maps gradients
+# exactly as it maps weights.
+
+LABELS = np.asarray([3, 137], np.int64)
+
+
+@pytest.fixture(scope="module", params=["deit", "cait"])
+def grad_pair(request, batch):
+    """(arch, torch-grads-as-jax-tree, frozen/nograd key lists, jax grads)."""
+    arch = request.param
+    _, reserve_layers, depth = ARCH[arch]
+    ref, model, params = _build_pair(arch)
+
+    # --- torch side: real reference modules, autograd ---
+    ref.train()
+    x_t = torch.from_numpy(batch)
+    label = torch.from_numpy(LABELS)
+    logits, aux = ref(x_t)
+    ce = torch.nn.functional.cross_entropy(logits, label)
+    cov, mean = ref.get_PPC_loss(aux[2], aux[3], aux[4], label)
+    loss = ce + 0.1 * cov + 0.5 * mean
+    loss.backward()
+    ref_loss = float(loss.detach())
+
+    frozen, nograd, grad_sd = [], [], {}
+    for k, p in ref.named_parameters():
+        if not p.requires_grad:
+            frozen.append(k)
+            grad_sd[k] = np.zeros(tuple(p.shape), np.float32)
+        elif p.grad is None:
+            nograd.append(k)
+            grad_sd[k] = np.zeros(tuple(p.shape), np.float32)
+        else:
+            grad_sd[k] = p.grad.detach().numpy()
+    want = convert_ppnet_state_dict(grad_sd, arch=arch, depth=depth)
+
+    # --- jax side: the production loss composition on converted params ---
+    x_j = jnp.asarray(batch.transpose(0, 2, 3, 1))
+    labels_j = jnp.asarray(LABELS)
+
+    from protopformer_tpu.train.steps import cross_entropy_loss
+
+    def loss_fn(p):
+        out = model.apply({"params": p}, x_j, train=True)
+        ce = cross_entropy_loss(out.logits, labels_j)
+        Bs, Pn = out.total_proto_act.shape[:2]
+        cov, mean = ppc_loss(
+            out.total_proto_act.reshape(Bs, Pn, -1),
+            out.cls_attn_rollout, labels_j,
+            num_classes=200, proto_per_class=10,
+            grid_size=int(round(out.cls_attn_rollout.shape[-1] ** 0.5)),
+            cov_thresh=1.0, mean_thresh=2.0,
+        )
+        return ce + 0.1 * cov + 0.5 * mean
+
+    jax_loss, got = jax.value_and_grad(loss_fn)(params)
+    return arch, want, frozen, nograd, got, float(jax_loss), ref_loss
+
+
+def test_gradient_groundtruth_frozen_heads(grad_pair):
+    """The reference freezes last_layer / last_layer_global
+    (requires_grad=False, ref: protopformer.py:126-131); torch must report
+    NO grads for exactly those (plus any genuinely unused params)."""
+    arch, _, frozen, nograd, _, _, _ = grad_pair
+    # 'ones' is the reference's frozen all-ones constant for the L2-conv
+    # identity (ref: protopformer.py:202) — a constant, not a weight
+    assert set(frozen) == {
+        "ones", "last_layer.weight", "last_layer_global.weight"
+    }, frozen
+    # every trainable parameter of the reference receives a gradient
+    assert nograd == [], f"{arch}: unexpectedly grad-less params: {nograd}"
+
+
+def test_gradient_groundtruth_values(grad_pair):
+    """jax.grad through the full model (backbone included) must match torch
+    autograd on the real reference, per tensor, to fp32 reduction-order
+    noise. A missing stop_gradient on the rollout/top-k path, or a PPC
+    scatter VJP mismatch, shows up here as structural (not noise-level)
+    divergence in the block 0..10 gradients."""
+    arch, want, _, _, got, jax_loss, ref_loss = grad_pair
+    np.testing.assert_allclose(jax_loss, ref_loss, atol=1e-4, rtol=1e-4)
+
+    import jax.tree_util as jtu
+
+    want_leaves = dict(jtu.tree_flatten_with_path(want)[0])
+    got_leaves = dict(jtu.tree_flatten_with_path(got)[0])
+    assert set(want_leaves) == set(got_leaves)
+    for path in sorted(want_leaves, key=str):
+        name = jtu.keystr(path)
+        w = np.asarray(want_leaves[path], np.float32)
+        g = np.asarray(got_leaves[path], np.float32)
+        if "last_layer" in name:
+            # frozen heads: torch has no grad (zero-filled above); the jax
+            # grads exist but the optimizer masks them — asserted in
+            # test_train.py::test_optimizer_freezes_heads_and_updates_groups
+            continue
+        scale = max(float(np.max(np.abs(w))), 1e-8)
+        np.testing.assert_allclose(
+            g, w, atol=2e-3 * scale, rtol=0,
+            err_msg=f"{arch}: grad mismatch at {name}",
+        )
