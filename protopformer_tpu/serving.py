@@ -138,6 +138,14 @@ class ServingEngine:
         self._forward = jax.jit(_forward)
         self._img_size = img
         self._chunk_format = None
+        # dispatch-count contract (docs/DESIGN.md round-4): every chunk
+        # forward threads the ordering token; the ONLY un-chained dispatch
+        # a request issues is the final concat+slice per output stream —
+        # one for logits, plus one for cls_token_attn when with_attn.
+        # On a remote-tunnel backend each un-chained dispatch serializes at
+        # one round trip, so this counter is the structural contract a
+        # line-rate host needs (pinned by tests/test_serving.py).
+        self.last_unchained_dispatches = 0
         if auto_layout and mesh is None:
             self._try_auto_layout()
 
@@ -174,6 +182,35 @@ class ServingEngine:
         except Exception:
             self._chunk_format = None  # default layouts (e.g. CPU backend)
 
+    def _stage_chunk(self, images, start):
+        """Pad + H2D-stage the chunk at ``start``; returns (device_chunk,
+        real_rows). A method (not a closure) so measurement harnesses can
+        substitute pre-staged device buffers (scripts/serving_ab.py)."""
+        chunk = images[start:start + self.batch_size]
+        real = chunk.shape[0]
+        if real < self.batch_size:
+            chunk = np.concatenate(
+                [
+                    chunk,
+                    np.zeros(
+                        (self.batch_size - real,) + chunk.shape[1:],
+                        np.uint8,
+                    ),
+                ]
+            )
+        dst = (
+            self._chunk_format
+            if self._chunk_format is not None
+            else self._chunk_sharding
+        )
+        return jax.device_put(chunk, dst), real
+
+    def _concat_unpad(self, pieces, n):
+        """On-device concat + single tail-padding slice for one output
+        stream — the request's one un-chained dispatch for that stream."""
+        self.last_unchained_dispatches += 1
+        return jnp.concatenate(pieces)[:n]
+
     def warmup(self) -> None:
         """Compile (or deserialize from the persistent cache) eagerly.
 
@@ -200,8 +237,8 @@ class ServingEngine:
         """Sustained on-chip serving rate for an n-image request (img/s).
 
         Measures the engine's full chunk pipeline — per-chunk dispatch with
-        the ordering token, tail padding, per-chunk unpad slice, on-device
-        concatenation, one final fetch — with the request's chunks staged
+        the ordering token, tail padding, on-device concatenation with one
+        post-concat unpad slice, one final fetch — with the request's chunks staged
         DEVICE-RESIDENT up front. That isolates the engine from host->device
         input bandwidth: on the remote-tunnel dev box the tunnel's network
         H2D (0.05-1.2 GB/s) binds any end-to-end number, which says nothing
@@ -215,7 +252,6 @@ class ServingEngine:
         starts = list(range(0, n_images, self.batch_size))
         chunks = []
         for s in starts:
-            real = min(self.batch_size, n_images - s)
             c = (rng.integers(
                 0, 256,
                 (self.batch_size, self._img_size, self._img_size, 3),
@@ -225,14 +261,15 @@ class ServingEngine:
                 if self._chunk_format is not None
                 else self._chunk_sharding
             )
-            chunks.append((jax.device_put(c, dst), real))
+            chunks.append(jax.device_put(c, dst))
         self.warmup()
 
         def run_once():
             t0 = time.perf_counter()
             logits = []
             token = jnp.float32(0)
-            for dev_chunk, _real in chunks:
+            self.last_unchained_dispatches = 0
+            for dev_chunk in chunks:
                 out = self._forward(self._params, dev_chunk, token)
                 token = out["token"]
                 # keep the FULL chunk output: a per-chunk [:real] slice is
@@ -242,7 +279,7 @@ class ServingEngine:
                 # concat drops exactly the padding rows
                 logits.append(out["logits"])
             np.asarray(
-                jnp.concatenate(logits)[:n_images]
+                self._concat_unpad(logits, n_images)
             )  # one slice + fetch, full sync
             return time.perf_counter() - t0
 
@@ -277,41 +314,23 @@ class ServingEngine:
         # staging chunk i, wait for chunk i-window's compute (which frees
         # its input buffer).
         starts = list(range(0, n, self.batch_size))
-
-        def _stage(start):
-            chunk = images[start:start + self.batch_size]
-            real = chunk.shape[0]
-            if real < self.batch_size:
-                chunk = np.concatenate(
-                    [
-                        chunk,
-                        np.zeros(
-                            (self.batch_size - real,) + chunk.shape[1:],
-                            np.uint8,
-                        ),
-                    ]
-                )
-            dst = (
-                self._chunk_format
-                if self._chunk_format is not None
-                else self._chunk_sharding
-            )
-            return jax.device_put(chunk, dst), real
-
-        staged = [_stage(s) for s in starts[: self.stage_window]]
+        staged = [
+            self._stage_chunk(images, s) for s in starts[: self.stage_window]
+        ]
         # stage-window accounting (contract-tested): peak number of staged
         # input chunks alive at once must never exceed stage_window
         self.last_peak_staged = min(len(starts), self.stage_window)
+        self.last_unchained_dispatches = 0
         logits, attns = [], []
         token = jnp.float32(0)
+        # tail padding is dropped by ONE slice after the concat — a
+        # per-chunk [:real] slice is an un-chained dispatch costing one
+        # tunnel RTT per chunk (only the last chunk is padded, so
+        # concat[:n] is exactly equivalent)
         for i in range(len(starts)):
-            dev_chunk, real = staged[i]
+            dev_chunk, _real = staged[i]
             out = self._forward(self._params, dev_chunk, token)
             token = out["token"]
-            del real  # tail padding is dropped by ONE slice after the
-            # concat — a per-chunk [:real] slice is an un-chained dispatch
-            # costing one tunnel RTT per chunk (only the last chunk is
-            # padded, so concat[:n] is exactly equivalent)
             logits.append(out["logits"])
             if self.with_attn:
                 attns.append(out["cls_token_attn"])
@@ -320,7 +339,7 @@ class ServingEngine:
                 if i >= 1:
                     # chunk i-1's forward output ready => its input freed
                     jax.block_until_ready(logits[i - 1])
-                staged.append(_stage(starts[nxt]))
+                staged.append(self._stage_chunk(images, starts[nxt]))
             staged[i] = None  # drop our reference to the consumed input
             self.last_peak_staged = max(
                 self.last_peak_staged,
@@ -329,9 +348,9 @@ class ServingEngine:
         # concatenate ON DEVICE, drop the tail padding with one slice, and
         # fetch once — each host fetch is a full round trip (~30-500 ms
         # through a remote tunnel)
-        logits = np.asarray(jnp.concatenate(logits)[:n])
+        logits = np.asarray(self._concat_unpad(logits, n))
         attns = (
-            [np.asarray(jnp.concatenate(attns)[:n])] if attns else []
+            [np.asarray(self._concat_unpad(attns, n))] if attns else []
         )
         return ServingResult(
             logits=logits,

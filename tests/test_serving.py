@@ -97,8 +97,8 @@ def test_serving_engine_chunk_pad_mask_at_production_batch():
 
 
 def test_serving_throughput_probe_counts_and_runs():
-    """throughput_probe must execute the real chunk pipeline (unpad slices
-    + on-device concat) and report sane accounting."""
+    """throughput_probe must execute the real chunk pipeline (on-device
+    concat + one post-concat unpad slice) and report sane accounting."""
     model = construct_ppnet(BK, PP)
     params = model.init(
         jax.random.key(3), jnp.zeros((1, 32, 32, 3))
@@ -110,6 +110,44 @@ def test_serving_throughput_probe_counts_and_runs():
     assert out["chunks"] == 3  # 8 + 8 + 4(padded)
     assert out["img_per_sec"] > 0
     assert out["best_img_per_sec"] >= out["img_per_sec"] * 0.99
+
+
+def test_serving_engine_dispatch_count_contract():
+    """The structural line-rate contract (docs/DESIGN.md round-4): every
+    chunk forward is chained through the ordering token, and the ONLY
+    un-chained dispatch a request issues is the final concat+slice per
+    output stream (one for logits; +1 for cls_token_attn). Per-chunk unpad
+    slices would each serialize at one tunnel RTT — this pins they never
+    come back."""
+    model = construct_ppnet(BK, PP)
+    params = model.init(
+        jax.random.key(5), jnp.zeros((1, 32, 32, 3))
+    )["params"]
+    rng = np.random.default_rng(11)
+    imgs = (rng.uniform(size=(11, 32, 32, 3)) * 255).astype(np.uint8)
+
+    engine = ServingEngine(BK, PP, params, batch_size=4,
+                           compute_dtype=jnp.float32)
+    calls = []
+    inner = engine._forward
+    engine._forward = lambda p, x, tok: calls.append(x.shape) or inner(
+        p, x, tok
+    )
+    engine(imgs)
+    assert len(calls) == 3  # 4 + 4 + 3(padded): one chained dispatch each
+    assert all(s == (4, 32, 32, 3) for s in calls)  # full-chunk, no slices
+    assert engine.last_unchained_dispatches == 1  # final concat+slice only
+
+    # with_attn adds exactly one more stream (its own concat+slice)
+    engine2 = ServingEngine(BK, PP, params, batch_size=4,
+                            compute_dtype=jnp.float32, with_attn=True)
+    engine2(imgs)
+    assert engine2.last_unchained_dispatches == 2
+
+    # the probe pipeline honors the same contract
+    out = engine.throughput_probe(n_images=11, reps=1)
+    assert out["chunks"] == 3
+    assert engine.last_unchained_dispatches == 1
 
 
 def test_serving_engine_rejects_float_input():
