@@ -88,6 +88,9 @@ def build_cub_cropped_index(root: str, train: bool) -> DatasetIndex:
     (ref: tools/datasets.py:186-200 'CUB2011U')."""
     sub = "train_cropped_augmented" if train else "test_cropped"
     folder = os.path.join(root, sub)
+    if train and not os.path.isdir(folder):
+        # un-augmented crop tree (scripts/prepare_cub.py without --augment)
+        folder = os.path.join(root, "train_cropped")
     if not os.path.isdir(folder):
         # fall back to plain train/test ImageFolder
         folder = os.path.join(root, "train" if train else "test")
