@@ -63,6 +63,12 @@ class BackboneConfig:
     # (~3% of the keep count at 4) sits inside the speed-mode selection
     # contract. DeiT pruning path only (CaiT maps are not probabilities).
     rollout_discard_sample: int = 1
+    # ONE batched k-th-statistic bisection over ALL pre-prune layers'
+    # (sampled) maps instead of a per-layer search ("on"/"off") — the
+    # searches are row-independent so the results are bit-identical
+    # (ops/rollout.py::masked_map_stats_multi); the count passes run once
+    # over an L-fold bigger stack, amortizing per-pass dispatch overhead.
+    rollout_stats_batched: str = "off"
     # Pallas kernels for the rollout normalize: opt-in ("on"/"auto"/"off").
     # Default OFF: on v5e the XLA path (batch-vectorized bit-bisection,
     # ops/rollout.py) measured faster than the per-sample Pallas grid; the
@@ -114,6 +120,8 @@ class BackboneConfig:
                           ("headloop", "batched", "headdense", "einsum")),
             "use_pallas": (self.use_pallas, ("on", "off", "auto")),
             "stats_kernel": (self.stats_kernel, ("on", "off", "auto")),
+            "rollout_stats_batched": (self.rollout_stats_batched,
+                                      ("on", "off")),
             "quantize": (self.quantize, ("off", "int8")),
             "prune_gather": (self.prune_gather, ("on", "off", "auto")),
             "patch_embed": (self.patch_embed, ("conv", "matmul")),

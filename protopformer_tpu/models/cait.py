@@ -31,6 +31,7 @@ from protopformer_tpu.models.layers import (
 from protopformer_tpu.ops.rollout import (
     _fuse_heads,
     masked_map_stats,
+    masked_map_stats_multi,
     normalize_attention_map,
     rollout_row_scores_lazy,
 )
@@ -158,12 +159,24 @@ class CaiTBackbone(nn.Module):
             # signed: post-proj_w talking-heads maps are NOT probabilities —
             # entire maps can be negative (the discard threshold must then
             # be negative too); tests/test_reference_groundtruth.py
-            t, s = masked_map_stats(
-                fmap, cfg.rollout_discard_ratio, cfg.rollout_exact_discard,
-                signed=True,
-            )
-            sa_ts.append(t)
-            sa_ss.append(s)
+            if cfg.rollout_stats_batched != "on":
+                t, s = masked_map_stats(
+                    fmap, cfg.rollout_discard_ratio,
+                    cfg.rollout_exact_discard, signed=True,
+                )
+                sa_ts.append(t)
+                sa_ss.append(s)
+        if cfg.rollout_stats_batched == "on":
+            # ONE batched signed bisection over all 24 SA maps instead of
+            # 24 sequential searches (24x 32-pass fp32 count chains are
+            # CaiT's dominant pruning cost; bit-identical —
+            # ops/rollout.py::masked_map_stats_multi)
+            for t, s in masked_map_stats_multi(
+                sa_maps, cfg.rollout_discard_ratio,
+                cfg.rollout_exact_discard, signed=True,
+            ):
+                sa_ts.append(t)
+                sa_ss.append(s)
 
         cls_tokens = cls_embed
         policy = jnp.ones((B, seq_len), dtype=jnp.float32)

@@ -29,6 +29,7 @@ from protopformer_tpu.models.layers import Block, PatchEmbed
 from protopformer_tpu.ops.rollout import (
     _fuse_heads,
     masked_map_stats,
+    masked_map_stats_multi,
     normalize_attention_map,
     rollout_row_scores,
     rollout_row_scores_lazy,
@@ -238,8 +239,24 @@ class DeiTBackbone(nn.Module):
         # max/min parity variants return per-head probs fused here.
         cfg = self.config
         lazy_stats = []
+        # batched-stats mode: maps whose threshold search is deferred to
+        # the next prune point, where ONE bisection covers them all
+        # (bit-identical; ops/rollout.py::masked_map_stats_multi)
+        pending_maps = []
+
+        def _flush_pending():
+            if pending_maps:
+                lazy_stats.extend(masked_map_stats_multi(
+                    pending_maps, cfg.rollout_discard_ratio,
+                    cfg.rollout_exact_discard, value_bound=1.0,
+                    sample=cfg.rollout_discard_sample,
+                    stochastic_eps=1e-6,
+                ))
+                pending_maps.clear()
+
         for i, blk in enumerate(self.blocks):
             if i in reserve_map:
+                _flush_pending()
                 scores = rollout_row_scores_lazy(
                     norm_maps, [t for t, _ in lazy_stats],
                     [s for _, s in lazy_stats], cls_row,
@@ -296,6 +313,8 @@ class DeiTBackbone(nn.Module):
                         fmap, cfg.rollout_discard_ratio,
                         cfg.rollout_exact_discard,
                     ))
+                elif cfg.rollout_stats_batched == "on":
+                    pending_maps.append(fmap)
                 else:
                     # value_bound=1.0: DeiT maps are head-fused softmax
                     # probabilities, so the bisection bracket needs no

@@ -482,6 +482,113 @@ def masked_map_stats(
     return t, s
 
 
+def masked_map_stats_multi(
+    fmaps: Sequence[jax.Array],
+    discard_ratio: float = 0.9,
+    exact_discard: bool = True,
+    value_bound: float = None,
+    sample: int = 1,
+    stochastic_eps: float = None,
+    signed: bool = False,
+) -> Sequence[Tuple[jax.Array, jax.Array]]:
+    """``masked_map_stats`` for a whole LIST of same-shape maps with ONE
+    batched bisection (``rollout_stats_batched``).
+
+    The k-th-largest bisection is row-independent, so the L per-layer
+    searches collapse into one search over the (L*B,)-row stack: the same
+    count passes run 13x (speed) / 28x (exact) TOTAL instead of per layer
+    — per-pass dispatch/fusion overhead amortizes over L-fold bigger VPU
+    passes. Bit-identical per layer to the sequential calls (same
+    thresholds, same row sums); the masked row sums stay per-layer
+    (batching them would stack the full maps — a copy that costs more
+    than the launches it saves).
+
+    DeiT pruning collects all 11 pre-prune maps before any threshold is
+    consumed, and TPU programs execute as one linear schedule anyway, so
+    deferring the searches to the prune point loses nothing.
+
+    Same argument contract as ``masked_map_stats`` minus ``keep_elements``
+    (padded maps don't arise on the batched path).
+    """
+    L = len(fmaps)
+    if L == 1:
+        return [masked_map_stats(
+            fmaps[0], discard_ratio, exact_discard,
+            value_bound=value_bound, sample=sample,
+            stochastic_eps=stochastic_eps, signed=signed,
+        )]
+    B, M, N = fmaps[0].shape
+    if signed and (
+        value_bound is not None or stochastic_eps is not None or sample != 1
+    ):
+        raise ValueError(
+            "signed maps are not probabilities: value_bound/stochastic_eps/"
+            "sample do not apply"
+        )
+    if fmaps[0].dtype == jnp.bfloat16 and not exact_discard:
+        maps = list(fmaps)
+        kth_fn = kth_largest_bf16_signed if signed else kth_largest_bf16
+    else:
+        maps = [a.astype(jnp.float32) for a in fmaps]
+        if signed:
+            kth_fn = kth_largest_signed
+        else:
+            kth_fn = kth_largest if exact_discard else kth_largest_prefix16
+    real = M * N
+    keep = real - int(real * discard_ratio)
+    if keep >= real:
+        # no-discard sentinel (see masked_map_stats)
+        t = jnp.full((B,), -jnp.inf, jnp.float32)
+        return [
+            (t, jnp.sum(a, axis=-1, dtype=jnp.float32)) for a in maps
+        ]
+
+    def _bound_for(keep_count):
+        if stochastic_eps is None:
+            return value_bound
+        floor = stochastic_eps / N / (N + stochastic_eps) * 0.98
+        cap = M / keep_count * 1.02
+        if value_bound is not None:
+            cap = min(cap, value_bound)
+        return (floor, cap)
+
+    flats = [a.reshape(B, -1) for a in maps]
+    if sample > 1:
+        if exact_discard:
+            raise ValueError(
+                "sampled discard counts are a speed-mode approximation;"
+                " use sample=1 with exact_discard=True"
+            )
+        blk = 512
+        ec = (real // blk) * blk
+        subs = [
+            f[:, :ec].reshape(B, ec // blk, blk)[
+                :, :, : blk // sample
+            ].reshape(B, -1)
+            for f in flats
+        ]
+        keep_count = max(1, round(keep * subs[0].shape[1] / real))
+        # the stack IS the single materialization point (the per-layer
+        # barrier in masked_map_stats); without it XLA re-fuses the
+        # strided slices into every count pass
+        stacked = jax.lax.optimization_barrier(jnp.stack(subs))
+    else:
+        keep_count = keep
+        stacked = jnp.stack(flats)
+    t_all = kth_fn(
+        stacked.reshape(L * B, -1), keep_count, bound=_bound_for(keep_count)
+    ).reshape(L, B)
+    out = []
+    for i, a in enumerate(maps):
+        t = t_all[i]
+        s = jnp.sum(
+            jnp.where(a >= t[:, None, None], a, 0),
+            axis=-1, dtype=jnp.float32,
+        )
+        out.append((t, s))
+    return out
+
+
 def rollout_row_scores_lazy(
     fused_maps: Sequence[jax.Array],
     thresholds: Sequence[jax.Array],

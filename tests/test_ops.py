@@ -536,3 +536,57 @@ def test_gelu_speed_deviation_bound(rng=np.random.default_rng(12)):
     denom = np.maximum(np.abs(eb), 1e-2)
     assert np.median(np.abs(fb - eb) / denom) < 4e-3
 
+
+
+def test_masked_map_stats_multi_bit_identical(rng):
+    """The batched cross-layer search (rollout_stats_batched) must return
+    BIT-identical (t, s) per layer to sequential masked_map_stats calls in
+    every mode combination — the bisection is row-independent, so stacking
+    the layers cannot change any row's result."""
+    from protopformer_tpu.ops.rollout import (
+        masked_map_stats,
+        masked_map_stats_multi,
+    )
+
+    B, N = 3, 197
+    L = 4
+    probs = [
+        jnp.asarray(
+            rng.dirichlet(np.ones(N) * 0.05, (B, N)).astype(np.float32)
+        )
+        for _ in range(L)
+    ]
+    signed_maps = [
+        jnp.asarray(rng.normal(size=(B, 196, 196)).astype(np.float32) - i)
+        for i in range(L)
+    ]
+
+    cases = [
+        # (maps, kwargs) — DeiT exact, DeiT speed bf16+sampled, CaiT signed
+        (probs, dict(exact_discard=True, value_bound=1.0,
+                     stochastic_eps=1e-6)),
+        ([p.astype(jnp.bfloat16) for p in probs],
+         dict(exact_discard=False, value_bound=1.0, sample=4,
+              stochastic_eps=1e-6)),
+        (signed_maps, dict(exact_discard=True, signed=True)),
+        ([m.astype(jnp.bfloat16) for m in signed_maps],
+         dict(exact_discard=False, signed=True)),
+    ]
+    for maps, kw in cases:
+        want = [masked_map_stats(m, 0.9, **kw) for m in maps]
+        got = masked_map_stats_multi(maps, 0.9, **kw)
+        assert len(got) == L
+        for (wt, ws), (gt, gs) in zip(want, got):
+            np.testing.assert_array_equal(np.asarray(wt), np.asarray(gt))
+            np.testing.assert_array_equal(np.asarray(ws), np.asarray(gs))
+
+    # single-map delegation + guard parity with the sequential path
+    (gt, gs), = masked_map_stats_multi(
+        probs[:1], 0.9, exact_discard=True, value_bound=1.0
+    )
+    wt, ws = masked_map_stats(probs[0], 0.9, value_bound=1.0)
+    np.testing.assert_array_equal(np.asarray(wt), np.asarray(gt))
+    with pytest.raises(ValueError):
+        masked_map_stats_multi(signed_maps, 0.9, signed=True, sample=4)
+    with pytest.raises(ValueError):
+        masked_map_stats_multi(probs, 0.9, exact_discard=True, sample=4)

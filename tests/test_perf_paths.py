@@ -245,3 +245,59 @@ def test_bench_modes_share_rep_methodology():
         assert {k.arg for k in c.keywords} <= {"exact"}, (
             "bench.main must not override the shared rep methodology"
         )
+
+
+def test_batched_rollout_stats_matches_per_layer(images, params):
+    """``rollout_stats_batched='on'`` (one cross-layer bisection —
+    ops/rollout.py::masked_map_stats_multi) must be BIT-identical to the
+    per-layer path in both discard modes: same rollout scores, same token
+    selection, same logits."""
+    for speed in (False, True):
+        kw = dict(
+            rollout_exact_discard=not speed,
+            rollout_discard_sample=4 if speed else 1,
+        )
+        on = construct_ppnet(
+            BackboneConfig(**TINY, rollout_stats_batched="on", **kw),
+            TINY_PPNET,
+        )
+        off = construct_ppnet(BackboneConfig(**TINY, **kw), TINY_PPNET)
+        x = normalize_images(images)
+        o_on = jax.jit(lambda p, x: on.apply({"params": p}, x))(params, x)
+        o_off = jax.jit(lambda p, x: off.apply({"params": p}, x))(params, x)
+        np.testing.assert_array_equal(
+            np.asarray(o_on.cls_token_attn),
+            np.asarray(o_off.cls_token_attn),
+        )
+        np.testing.assert_array_equal(
+            np.asarray(o_on.logits), np.asarray(o_off.logits)
+        )
+
+
+def test_batched_rollout_stats_cait_matches_per_layer(images):
+    """CaiT: the batched SIGNED search (24 talking-heads maps) must match
+    the per-layer path bit-for-bit."""
+    cait = dict(
+        name="tiny-cait", arch="cait", img_size=32, patch_size=8,
+        embed_dim=24, depth=3, num_heads=2, depth_token_only=2,
+        init_scale=1e-5,
+    )
+    pp = PPNetConfig(
+        prototype_shape=(40, 16, 1, 1), num_classes=4,
+        reserve_layers=(1,), reserve_token_nums=(9,),
+        use_global=True, global_proto_per_class=3,
+    )
+    on = construct_ppnet(
+        BackboneConfig(**cait, rollout_stats_batched="on"), pp
+    )
+    off = construct_ppnet(BackboneConfig(**cait), pp)
+    params = off.init(jax.random.key(2), images)["params"]
+    x = normalize_images(images)
+    o_on = jax.jit(lambda p, x: on.apply({"params": p}, x))(params, x)
+    o_off = jax.jit(lambda p, x: off.apply({"params": p}, x))(params, x)
+    np.testing.assert_array_equal(
+        np.asarray(o_on.cls_token_attn), np.asarray(o_off.cls_token_attn)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(o_on.logits), np.asarray(o_off.logits)
+    )
