@@ -155,6 +155,13 @@ class CaiTBackbone(nn.Module):
                 fmap = _fuse_heads(
                     fmap.astype(jnp.float32), cfg.rollout_head_fusion
                 )
+            if not cfg.rollout_exact_discard:
+                # speed mode: store the map bf16 (same as the DeiT path) —
+                # halves the HBM bytes of every count pass and the
+                # lazy-rollout reads, and selects the 16-pass bf16 SIGNED
+                # bisection (kth_largest_bf16_signed) over the 32-pass
+                # fp32 one
+                fmap = fmap.astype(jnp.bfloat16)
             sa_maps.append(fmap)
             # signed: post-proj_w talking-heads maps are NOT probabilities —
             # entire maps can be negative (the discard threshold must then

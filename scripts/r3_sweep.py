@@ -15,8 +15,11 @@ config) so thermal / tunnel drift hits every config equally:
 ONE TPU job at a time — the tunnel serializes concurrent processes.
 """
 
+import os
 import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 import jax
@@ -35,16 +38,24 @@ PP = PPNetConfig(
     reserve_layers=(11,), reserve_token_nums=(81,),
     use_global=True, global_proto_per_class=10,
 )
+# CaiT prunes at class-attention block 1 (ref: scripts/train_cub.sh:53-56)
+PP_CAIT = PPNetConfig(
+    prototype_shape=(2000, 192, 1, 1), num_classes=200,
+    reserve_layers=(1,), reserve_token_nums=(81,),
+    use_global=True, global_proto_per_class=10,
+)
 
 
-def build(exact, batch, sample, **bb_overrides):
+def build(exact, batch, sample, arch="deit_tiny_patch16_224",
+          **bb_overrides):
+    pp = PP_CAIT if arch.startswith("cait") else PP
     bb = backbone_preset(
-        "deit_tiny_patch16_224",
+        arch,
         rollout_exact_discard=exact,
         rollout_discard_sample=sample,
         **bb_overrides,
     )
-    model = construct_ppnet(bb, PP, compute_dtype=jnp.bfloat16)
+    model = construct_ppnet(bb, pp, compute_dtype=jnp.bfloat16)
     rng = jax.random.key(1028)
     params = model.init(rng, jnp.zeros((1, 224, 224, 3)))["params"]
     params = fold_normalization_into_patch_embed(params, input_scale=1.0 / 255.0)
@@ -86,7 +97,8 @@ def main():
         parts = s.split(":")
         exact, batch, sample = (int(v) for v in parts[:3])
         # optional 4th field: comma-separated BackboneConfig overrides,
-        # e.g. 0:160:4:quantize=int8,use_pallas=on
+        # e.g. 0:160:4:quantize=int8,use_pallas=on; 'arch=' selects the
+        # backbone preset (cait presets use reserve layer 1)
         overrides = {}
         if len(parts) > 3 and parts[3]:
             for kv in parts[3].split(","):

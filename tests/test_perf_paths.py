@@ -301,3 +301,39 @@ def test_batched_rollout_stats_cait_matches_per_layer(images):
     np.testing.assert_array_equal(
         np.asarray(o_on.logits), np.asarray(o_off.logits)
     )
+
+
+def test_cait_bf16_map_speed_mode_close_to_fp32(images):
+    """CaiT speed mode now stores SA maps bf16 (16-pass signed bisection,
+    half-width count passes — mirrors the DeiT path); the rollout scores
+    must track the fp32 parity path within bf16-scale error."""
+    cait = dict(
+        name="tiny-cait", arch="cait", img_size=32, patch_size=8,
+        embed_dim=24, depth=3, num_heads=2, depth_token_only=2,
+        init_scale=1e-5,
+    )
+    pp = PPNetConfig(
+        prototype_shape=(40, 16, 1, 1), num_classes=4,
+        reserve_layers=(1,), reserve_token_nums=(9,),
+        use_global=True, global_proto_per_class=3,
+    )
+    exact = construct_ppnet(BackboneConfig(**cait), pp)
+    speed = construct_ppnet(
+        BackboneConfig(**cait, rollout_exact_discard=False), pp,
+        compute_dtype=jnp.bfloat16,
+    )
+    params = exact.init(jax.random.key(2), images)["params"]
+    x = normalize_images(images)
+    o_e = exact.apply({"params": params}, x)
+    o_s = speed.apply({"params": params}, x)
+    s = np.asarray(o_s.cls_token_attn, np.float32)
+    e = np.asarray(o_e.cls_token_attn, np.float32)
+    scale = np.abs(e).max()
+    # the residual tracks the bf16 COMPUTE dtype (attention + CA means in
+    # bf16), not the map storage; the binding check is ranking agreement
+    assert np.abs(s - e).max() < 0.2 * scale
+    k = 9
+    for i in range(s.shape[0]):
+        kept_s = set(np.argsort(-s[i])[:k].tolist())
+        kept_e = set(np.argsort(-e[i])[:k].tolist())
+        assert len(kept_s & kept_e) >= k - 2
