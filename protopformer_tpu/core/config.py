@@ -108,9 +108,12 @@ class BackboneConfig:
     # (unfold + one MXU dot — same params/math, see layers._PatchProj);
     # the faster one is re-measured in the bench ablations
     patch_embed: str = "conv"
-    # LayerNorm statistics dtype: 'fp32' (flax default, parity) or
-    # 'compute' (speed-mode ablation: stats in the compute dtype —
-    # layers.FastLayerNorm; ignored in fp32 compute)
+    # LayerNorm statistics lowering: 'fp32' (flax default, parity),
+    # 'compute' (stats in the compute dtype — layers.FastLayerNorm;
+    # measured null round-3), or 'mxu' (mean/E[x^2] as fp32-accumulated
+    # K=C thin matmuls against a ones vector — layers.MxuLayerNorm; the
+    # LN-stats fusions are 45% of the round-5 speed profile at 4.8x over
+    # HBM roofline). 'compute'/'mxu' are ignored in fp32 compute.
     ln_stats: str = "fp32"
 
     def __post_init__(self):
@@ -125,7 +128,7 @@ class BackboneConfig:
             "quantize": (self.quantize, ("off", "int8")),
             "prune_gather": (self.prune_gather, ("on", "off", "auto")),
             "patch_embed": (self.patch_embed, ("conv", "matmul")),
-            "ln_stats": (self.ln_stats, ("fp32", "compute")),
+            "ln_stats": (self.ln_stats, ("fp32", "compute", "mxu")),
             "rollout_head_fusion": (self.rollout_head_fusion,
                                     ("mean", "max", "min")),
         }

@@ -177,6 +177,47 @@ class FastLayerNorm(nn.Module):
         return y * scale.astype(self.dtype) + bias.astype(self.dtype)
 
 
+class MxuLayerNorm(nn.Module):
+    """LayerNorm whose stats reductions run on the MXU (speed-mode option).
+
+    The round-5 speed profile puts the 22 LN-stats fusions at 2.79 ms of a
+    6.2 ms iteration — 4.8x over HBM roofline, VPU-issue-bound on fp32
+    converts + lane-direction reduce chains over awkward C=192 rows
+    (docs/DESIGN.md). Here mean and E[x^2] are computed as K=C thin
+    matmuls against a constant ones/C vector with fp32 ACCUMULATION
+    (``preferred_element_type``): the MXU pass reads x at HBM speed and
+    the x*x producer fuses into the second dot's operand. Statistics are
+    fp32-accumulated (MORE accurate than FastLayerNorm's bf16 chains; the
+    only loss vs nn.LayerNorm is the bf16 rounding of x*x, ~2^-9
+    relative); the normalize apply stays in the compute dtype so it fuses
+    with neighbors. Param-compatible with ``nn.LayerNorm``.
+    """
+
+    eps: float = 1e-6
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        C = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (C,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (C,), jnp.float32)
+        xs = x.astype(self.dtype)
+        w = jnp.full((C, 1), 1.0 / C, self.dtype)
+        dims = (((xs.ndim - 1,), (0,)), ((), ()))
+        mu = jax.lax.dot_general(
+            xs, w, dims, preferred_element_type=jnp.float32
+        )  # (..., 1) fp32
+        msq = jax.lax.dot_general(
+            xs * xs, w, dims, preferred_element_type=jnp.float32
+        )
+        var = msq - mu * mu
+        inv = jax.lax.rsqrt(var + jnp.float32(self.eps))
+        mu_c = mu.astype(self.dtype)
+        inv_c = inv.astype(self.dtype)
+        y = (xs - mu_c) * inv_c
+        return y * scale.astype(self.dtype) + bias.astype(self.dtype)
+
+
 class Mlp(nn.Module):
     """Transformer MLP with exact-erf GELU (timm Mlp equivalent)."""
 
@@ -555,6 +596,11 @@ class Block(nn.Module):
         if self.ln_stats == "compute" and self.dtype != jnp.float32:
             def _ln(name):
                 return FastLayerNorm(
+                    self.layer_norm_eps, dtype=self.dtype, name=name
+                )
+        elif self.ln_stats == "mxu" and self.dtype != jnp.float32:
+            def _ln(name):
+                return MxuLayerNorm(
                     self.layer_norm_eps, dtype=self.dtype, name=name
                 )
         else:

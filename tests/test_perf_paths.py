@@ -337,3 +337,52 @@ def test_cait_bf16_map_speed_mode_close_to_fp32(images):
         kept_s = set(np.argsort(-s[i])[:k].tolist())
         kept_e = set(np.argsort(-e[i])[:k].tolist())
         assert len(kept_s & kept_e) >= k - 2
+
+
+def test_mxu_layernorm_contract(rng=np.random.default_rng(13)):
+    """MxuLayerNorm (stats as fp32-accumulated thin matmuls): param tree
+    identical to nn.LayerNorm; deviation bounded by the bf16 rounding of
+    x*x (tighter than FastLayerNorm's bf16 reduce chains)."""
+    from flax import linen as nn
+
+    from protopformer_tpu.models.layers import MxuLayerNorm
+
+    x = jnp.asarray(rng.normal(size=(32, 197, 192)).astype(np.float32) * 2)
+    ref = nn.LayerNorm(1e-6, dtype=jnp.bfloat16, param_dtype=jnp.float32)
+    params = ref.init(jax.random.key(0), x)["params"]
+    mxu = MxuLayerNorm(1e-6, dtype=jnp.bfloat16)
+    assert (
+        jax.tree.map(lambda a: a.shape, params)
+        == jax.tree.map(
+            lambda a: a.shape, mxu.init(jax.random.key(0), x)["params"]
+        )
+    )
+    a = np.asarray(ref.apply({"params": params}, x), np.float32)
+    b = np.asarray(mxu.apply({"params": params}, x), np.float32)
+    assert np.abs(a - b).max() < 0.06, np.abs(a - b).max()
+    assert np.sqrt(((a - b) ** 2).mean()) < 0.006
+
+
+def test_mxu_layernorm_selection_contract(images, params):
+    """ln_stats='mxu' through the full speed-mode model: rollout scores
+    track the default within bf16-scale error and the kept-token ranking
+    agrees (the gating contract for the serving recipe)."""
+    base = construct_ppnet(
+        BackboneConfig(**TINY, rollout_exact_discard=False),
+        TINY_PPNET, compute_dtype=jnp.bfloat16,
+    )
+    mxu = construct_ppnet(
+        BackboneConfig(**TINY, rollout_exact_discard=False, ln_stats="mxu"),
+        TINY_PPNET, compute_dtype=jnp.bfloat16,
+    )
+    x = normalize_images(images)
+    o_b = base.apply({"params": params}, x)
+    o_m = mxu.apply({"params": params}, x)
+    s = np.asarray(o_m.cls_token_attn, np.float32)
+    e = np.asarray(o_b.cls_token_attn, np.float32)
+    assert np.abs(s - e).max() < 0.05
+    k = 9
+    for i in range(s.shape[0]):
+        kept_s = set(np.argsort(-s[i])[:k].tolist())
+        kept_e = set(np.argsort(-e[i])[:k].tolist())
+        assert len(kept_s & kept_e) >= k - 2
