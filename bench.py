@@ -46,15 +46,17 @@ def _measure_mode(exact: bool, batch_size: int = 160, reps: int = 3,
     )
 
     # speed mode (exact=False): bf16-bitspace discard threshold counted on
-    # a lane-contiguous 1/4 sample of each map — the top-81 selection
+    # a lane-contiguous 1/8 sample of each map — the top-81 selection
     # contract vs the fp32 oracle is measurably identical to the exact
     # bisection (77-81/81 overlap, drops confined to the borderline tail —
-    # tests/test_parity.py selection-contract tests pin every mode).
+    # tests/test_parity.py selection-contract tests pin every mode;
+    # sample=8 measured +0.5% over sample=4 in two consecutive rounds with
+    # an equal contract — docs/DESIGN.md round-5).
     # exact mode (exact=True): bit-exact reference-parity threshold.
     backbone = backbone_preset(
         "deit_tiny_patch16_224",
         rollout_exact_discard=exact,
-        rollout_discard_sample=1 if exact else 4,
+        rollout_discard_sample=1 if exact else 8,
     )
     ppnet_cfg = PPNetConfig(
         prototype_shape=(2000, 192, 1, 1),
@@ -159,27 +161,56 @@ def main(_retries: int = 4):
             exact_img_per_sec / A100_BASELINE_IMG_PER_SEC, 3
         )
         record["exact_mode_mean_img_per_sec"] = round(exact_mean, 1)
+
+    # driver-visible train + serving records (VERDICT r4 #2): extra fields
+    # in the ONE JSON line so BENCH_r{N}.json tracks them round-over-round.
+    # Each is non-fatal — the inference headline must survive a tunnel
+    # hiccup in either.
+    try:
+        train_best, train_mean = _measure_train()
+        record["train_img_per_sec"] = round(train_best, 1)
+        record["train_mean_img_per_sec"] = round(train_mean, 1)
+        record["train_vs_baseline"] = round(
+            train_best / A100_TRAIN_BASELINE_IMG_PER_SEC, 3
+        )
+    except Exception:
+        pass
+    try:
+        # 16 chunks (not the standalone probe's 64): the chunks are staged
+        # over the tunnel's network H2D up front, and the driver's bench
+        # window is bounded (round-3: worst case ~10 min incl. retries)
+        probe = _measure_serving(n_images=2560)
+        record["serving_img_per_sec"] = round(probe["img_per_sec"], 1)
+        record["serving_vs_raw"] = round(
+            probe["img_per_sec"] / img_per_sec, 3
+        )
+        record["serving_n_images"] = probe["n_images"]
+    except Exception:
+        pass
     print(json.dumps(record))
 
 
 A100_TRAIN_BASELINE_IMG_PER_SEC = 1700.0
 
 
-def bench_train(batch_size: int = 256, reps: int = 3, rep_iters: int = 20):
-    """Training-step throughput (img/s/chip) for the flagship recipe:
-    DeiT-Ti@224 PPNet, B=256, PPC loss ON, bf16 compute / fp32 params,
-    3-group AdamW + EMA — the whole fwd+CE+PPC+bwd+update as ONE jitted
-    program (train/steps.py). Run: ``python bench.py train``.
-
-    ``vs_baseline`` anchors to ~1700 img/s: the A100-AMP DeiT-Ti train rate
-    implied by the same V100 timm measurement chain as the inference anchor
-    (BASELINE.md) at the usual ~1/3 train:inference ratio (fwd+bwd ~3x fwd
-    FLOPs, optimizer+EMA extra bytes). Estimate, not a measurement — no
-    A100 here.
+def _measure_train(batch_size: int = 256, reps: int = 3, rep_iters: int = 20):
+    """(best, mean) img/s for the flagship training step: DeiT-Ti@224
+    PPNet, B=256, PPC loss ON, bf16 compute / fp32 params, 3-group AdamW +
+    EMA — the whole fwd+CE+PPC+bwd+update as ONE jitted program
+    (train/steps.py).
 
     Timing methodology matches the inference bench: the state threads
     through the jitted step, so ``reps`` chains of ``rep_iters`` steps each
-    sync once per rep; min-of-reps is the record, mean also reported."""
+    sync once per rep; min-of-reps is the record, mean also reported.
+
+    AUTO-layout caveat (docs/DESIGN.md round-5): after other AUTO-layout
+    programs have compiled in the same process, a later AUTO program's
+    ``input_formats`` can DISAGREE with the executable's true required
+    layouts ("Computation was compiled for input layouts that disagree
+    ..."), so the AUTO path is validated by EXECUTION — the warm step runs
+    inside the guard and a failure falls back to the default-layout step
+    (the pristine ``state`` is untouched: compile_train_step_auto stages a
+    copy, and only the staged copy is donated)."""
     from protopformer_tpu.core.config import (
         OptimConfig, PPNetConfig, backbone_preset,
     )
@@ -217,27 +248,41 @@ def bench_train(batch_size: int = 256, reps: int = 3, rep_iters: int = 20):
     }
     gate = jnp.float32(1.0)
     # AUTO layouts on the loop-carried state (+4.8% measured — the same
-    # program main_train.py runs); default-layout fallback keeps the bench
-    # runnable on backends without the layout API
+    # program main_train.py runs); validated by EXECUTION (see docstring),
+    # default-layout fallback keeps the bench runnable regardless
     try:
-        step, state = compile_train_step_auto(
+        step, wstate = compile_train_step_auto(
             model, ppnet_cfg, optim_cfg, state, batch, rng
         )
+        wstate, m = step(wstate, batch, rng, gate)  # compile + warm
+        np.asarray(m["loss"])
     except Exception:
         step = make_train_step(model, ppnet_cfg, optim_cfg)
-    state, m = step(state, batch, rng, gate)  # compile + warm
-    np.asarray(m["loss"])
+        wstate = state
+        wstate, m = step(wstate, batch, rng, gate)
+        np.asarray(m["loss"])
 
     dts = []
     for _ in range(reps):
         t0 = time.perf_counter()
         for _ in range(rep_iters):
-            state, m = step(state, batch, rng, gate)
+            wstate, m = step(wstate, batch, rng, gate)
         np.asarray(m["loss"])
         dts.append(time.perf_counter() - t0)
     per_rep_imgs = batch_size * rep_iters
-    best = per_rep_imgs / min(dts)
-    mean = per_rep_imgs * len(dts) / sum(dts)
+    return (per_rep_imgs / min(dts),
+            per_rep_imgs * len(dts) / sum(dts))
+
+
+def bench_train(batch_size: int = 256, reps: int = 3, rep_iters: int = 20):
+    """Training-step throughput record. Run: ``python bench.py train``.
+
+    ``vs_baseline`` anchors to ~1700 img/s: the A100-AMP DeiT-Ti train rate
+    implied by the same V100 timm measurement chain as the inference anchor
+    (BASELINE.md) at the usual ~1/3 train:inference ratio (fwd+bwd ~3x fwd
+    FLOPs, optimizer+EMA extra bytes). Estimate, not a measurement — no
+    A100 here."""
+    best, mean = _measure_train(batch_size, reps, rep_iters)
     print(json.dumps({
         "metric": "deit_tiny_ppnet_train_throughput",
         "value": round(best, 1),
@@ -250,31 +295,26 @@ def bench_train(batch_size: int = 256, reps: int = 3, rep_iters: int = 20):
     return best
 
 
-def bench_serve(n_images: int = 10240, batch_size: int = 160):
-    """ServingEngine sustained rate on a chunked 10k-image request with
-    device-resident inputs (VERDICT r3 #7). Run: ``python bench.py serve``.
-
-    Measures the engine's full pipeline — 64 chunk dispatches with the
-    ordering token, tail pad/unpad, on-device concat, one fetch — without
-    the dev tunnel's network H2D (which binds any end-to-end number here
-    but not on a real TPU host; serving.py module docstring).
-    ``vs_baseline`` is the ratio to the official bench.py headline path
-    (same model/recipe as ``main()``): >=0.9 means the serving wrapper
-    costs <=10% over the raw jitted forward."""
+def _measure_serving(n_images: int = 10240, batch_size: int = 160):
+    """ServingEngine sustained-rate probe dict for a chunked device-resident
+    request (VERDICT r3 #7): the engine's full pipeline — per-chunk
+    dispatches with the ordering token, tail pad/unpad, on-device concat,
+    one fetch — without the dev tunnel's network H2D (which binds any
+    end-to-end number here but not on a real TPU host; serving.py module
+    docstring)."""
     from protopformer_tpu.core.config import PPNetConfig, backbone_preset
+    from protopformer_tpu.models import construct_ppnet
     from protopformer_tpu.serving import ServingEngine
 
     backbone = backbone_preset(
         "deit_tiny_patch16_224",
-        rollout_exact_discard=False, rollout_discard_sample=4,
+        rollout_exact_discard=False, rollout_discard_sample=8,
     )
     ppnet_cfg = PPNetConfig(
         prototype_shape=(2000, 192, 1, 1), num_classes=200,
         reserve_layers=(11,), reserve_token_nums=(81,),
         use_global=True, global_proto_per_class=10,
     )
-    from protopformer_tpu.models import construct_ppnet
-
     rng = jax.random.key(1028)
     model = construct_ppnet(backbone, ppnet_cfg, compute_dtype=jnp.bfloat16)
     params = model.init(rng, jnp.zeros((1, 224, 224, 3)))["params"]
@@ -282,7 +322,16 @@ def bench_serve(n_images: int = 10240, batch_size: int = 160):
         backbone, ppnet_cfg, params, batch_size=batch_size,
         compute_dtype=jnp.bfloat16,
     )
-    probe = engine.throughput_probe(n_images=n_images)
+    return engine.throughput_probe(n_images=n_images)
+
+
+def bench_serve(n_images: int = 10240, batch_size: int = 160):
+    """Serving-at-rate record. Run: ``python bench.py serve``.
+
+    ``vs_baseline`` is the ratio to the official bench.py headline path
+    (same model/recipe as ``main()``): >=0.9 means the serving wrapper
+    costs <=10% over the raw jitted forward."""
+    probe = _measure_serving(n_images=n_images, batch_size=batch_size)
     # the raw jitted-forward rate measured the same way (official headline)
     raw, _ = _measure_mode(exact=False, batch_size=batch_size)
     print(json.dumps({

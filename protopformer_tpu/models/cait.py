@@ -166,10 +166,19 @@ class CaiTBackbone(nn.Module):
             # signed: post-proj_w talking-heads maps are NOT probabilities —
             # entire maps can be negative (the discard threshold must then
             # be negative too); tests/test_reference_groundtruth.py
+            # speed mode: sampled signed counts (round 5) — the quantile
+            # estimate from the stratified lane subset is
+            # distribution-agnostic, so it composes with the signed key
+            # space; 24 signed count chains are CaiT's dominant pruning
+            # cost and each reads sample-x fewer bytes
+            sample = (
+                1 if cfg.rollout_exact_discard
+                else cfg.rollout_discard_sample
+            )
             if cfg.rollout_stats_batched != "on":
                 t, s = masked_map_stats(
                     fmap, cfg.rollout_discard_ratio,
-                    cfg.rollout_exact_discard, signed=True,
+                    cfg.rollout_exact_discard, signed=True, sample=sample,
                 )
                 sa_ts.append(t)
                 sa_ss.append(s)
@@ -180,7 +189,7 @@ class CaiTBackbone(nn.Module):
             # ops/rollout.py::masked_map_stats_multi)
             for t, s in masked_map_stats_multi(
                 sa_maps, cfg.rollout_discard_ratio,
-                cfg.rollout_exact_discard, signed=True,
+                cfg.rollout_exact_discard, signed=True, sample=sample,
             ):
                 sa_ts.append(t)
                 sa_ss.append(s)

@@ -394,18 +394,20 @@ def masked_map_stats(
         the k-th largest itself can be negative): bisect the
         order-preserving signed key space instead (kth_largest_signed /
         kth_largest_bf16_signed). Incompatible with value_bound /
-        stochastic_eps / sample (all assume probability maps).
+        stochastic_eps (both assume probability maps); ``sample`` DOES
+        compose — a sampled quantile estimate is distribution-agnostic
+        (the rank-error argument uses only the stratified lane coverage,
+        not non-negativity), and the speed-mode selection contract test
+        is the gate either way (round-5; tests/test_parity.py).
     Returns:
       (t (B,) keep-threshold in the map dtype — -inf when discard is
        disabled, s (B, M) fp32 masked row sums).
     """
     B, M, N = attn_fused.shape
-    if signed and (
-        value_bound is not None or stochastic_eps is not None or sample != 1
-    ):
+    if signed and (value_bound is not None or stochastic_eps is not None):
         raise ValueError(
-            "signed maps are not probabilities: value_bound/stochastic_eps/"
-            "sample do not apply"
+            "signed maps are not probabilities: value_bound/stochastic_eps"
+            " do not apply"
         )
     if attn_fused.dtype == jnp.bfloat16 and not exact_discard:
         a = attn_fused
@@ -518,12 +520,10 @@ def masked_map_stats_multi(
             stochastic_eps=stochastic_eps, signed=signed,
         )]
     B, M, N = fmaps[0].shape
-    if signed and (
-        value_bound is not None or stochastic_eps is not None or sample != 1
-    ):
+    if signed and (value_bound is not None or stochastic_eps is not None):
         raise ValueError(
-            "signed maps are not probabilities: value_bound/stochastic_eps/"
-            "sample do not apply"
+            "signed maps are not probabilities: value_bound/stochastic_eps"
+            " do not apply"
         )
     if fmaps[0].dtype == jnp.bfloat16 and not exact_discard:
         maps = list(fmaps)

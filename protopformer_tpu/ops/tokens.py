@@ -41,7 +41,19 @@ def topk_sorted_indices(scores: jax.Array, k: int) -> jax.Array:
 
 
 def gather_tokens(tokens: jax.Array, indices: jax.Array) -> jax.Array:
-    """Gather tokens at per-batch indices.
+    """Gather tokens at per-batch indices, as a one-hot MXU matmul.
+
+    A ``take_along_axis`` gather forces the residual stream through an
+    index-major layout (the round-5 profile shows a {1,2,0}<->{2,0,1}
+    transpose pair around the prune-point gather); the 0/1 selection
+    matmul rides the MXU in the stream's preferred layout instead.
+    Measured interleaved min-of-3 at B=160 (scripts/r5_gather_ab.py):
+    exact 8.41 vs 8.60 ms (+2.3%), speed 6.91 vs 6.95 (docs/DESIGN.md
+    round-5). Selection by one-hot matmul is EXACT in any dtype — each
+    output element is one value times 1.0 plus true zeros — and HIGHEST
+    precision pins the fp32 path away from the backend's truncating
+    DEFAULT fp32 matmul (docs/DESIGN.md "Precision policy"); the VJP is
+    the transposed one-hot matmul, value-equal to the gather's scatter.
 
     Args:
       tokens: (B, N, C).
@@ -49,7 +61,11 @@ def gather_tokens(tokens: jax.Array, indices: jax.Array) -> jax.Array:
     Returns:
       (B, K, C).
     """
-    return jnp.take_along_axis(tokens, indices[:, :, None], axis=1)
+    onehot = jax.nn.one_hot(indices, tokens.shape[1], dtype=tokens.dtype)
+    return jnp.einsum(
+        "bkn,bnc->bkc", onehot, tokens,
+        precision=jax.lax.Precision.HIGHEST,
+    )
 
 
 def scatter_tokens_to_grid(

@@ -171,10 +171,28 @@ class ServingEngine:
                 self._params, dummy, jnp.float32(0)
             ).compile()
             params_f, chunk_f, _ = compiled.input_formats[0]
-            self._params = jax.tree.map(
+            staged = jax.tree.map(
                 lambda a, f: jax.device_put(np.asarray(a), f),
                 self._params, params_f,
             )
+            # validate by EXECUTION before committing: after other
+            # AUTO-layout programs have compiled in this process,
+            # ``input_formats`` can disagree with the executable's true
+            # required layouts and the mismatch only surfaces at dispatch
+            # ("Computation was compiled for input layouts that disagree
+            # ..." — docs/DESIGN.md round-5). The pristine ``self._params``
+            # stay untouched until the probe chunk has run.
+            probe = jax.device_put(
+                np.zeros(
+                    (self.batch_size, self._img_size, self._img_size, 3),
+                    np.uint8,
+                ),
+                chunk_f,
+            )
+            np.asarray(
+                compiled(staged, probe, jnp.float32(0))["logits"][0, 0]
+            )
+            self._params = staged
             self._chunk_format = chunk_f
             self._forward = lambda p, images, token: compiled(
                 p, images, token

@@ -17,6 +17,7 @@ from typing import Callable, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from protopformer_tpu.core.config import OptimConfig, PPNetConfig
@@ -209,6 +210,29 @@ def compile_train_step_auto(
         .compile()
     )
     state_f, batch_f = compiled.input_formats[0][:2]
+    # validate by EXECUTION before staging the real state: input_formats
+    # can DISAGREE with the executable's true required layouts (observed
+    # on the axon plugin: "Computation was compiled for input layouts
+    # that disagree with the layouts of arguments passed to it" — docs/
+    # DESIGN.md round-5), and the mismatch only surfaces at dispatch. The
+    # probe state is an on-device ZEROS tree built directly in the AUTO
+    # formats — not a device_put copy of ``state``, because device_put is
+    # a no-op alias when the layout already matches and the probe's
+    # donation would then delete the pristine state's buffers. A probe
+    # failure propagates to the caller's default-layout fallback.
+    probe_state = jax.jit(
+        lambda: jax.tree_util.tree_map(
+            lambda s: jnp.zeros(s.shape, s.dtype), state_abs
+        ),
+        out_shardings=state_f,
+    )()
+    probe_batch = jax.tree_util.tree_map(
+        lambda a, f: jax.device_put(a, f), dict(example_batch), batch_f
+    )
+    _, probe_metrics = compiled(
+        probe_state, probe_batch, rng, jnp.float32(0.0)
+    )
+    np.asarray(probe_metrics["loss"])
     staged = jax.tree_util.tree_map(
         lambda a, f: jax.device_put(a, f), state, state_f
     )

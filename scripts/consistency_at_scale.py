@@ -14,11 +14,18 @@ Reported (docs/DESIGN.md):
     fraction attributable to the host half.
 
 Run (real TPU, ~3 min incl. compile):
-    PYTHONPATH=. python scripts/consistency_at_scale.py [n_images] [bs]
+    python scripts/consistency_at_scale.py [n_images] [bs]
 """
 
+import os
 import sys
 import time
+
+# NOT via PYTHONPATH: overriding it wholesale unregisters the axon TPU
+# plugin (sitecustomize on /root/.axon_site — docs/DESIGN.md pitfalls)
+sys.path.insert(
+    0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
 
 import numpy as np
 import jax

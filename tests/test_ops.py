@@ -571,6 +571,11 @@ def test_masked_map_stats_multi_bit_identical(rng):
         (signed_maps, dict(exact_discard=True, signed=True)),
         ([m.astype(jnp.bfloat16) for m in signed_maps],
          dict(exact_discard=False, signed=True)),
+        # round-5: sampled signed counts (CaiT speed mode) — the quantile
+        # estimate is distribution-agnostic, so sample composes with the
+        # signed key space
+        ([m.astype(jnp.bfloat16) for m in signed_maps],
+         dict(exact_discard=False, signed=True, sample=4)),
     ]
     for maps, kw in cases:
         want = [masked_map_stats(m, 0.9, **kw) for m in maps]
@@ -587,6 +592,8 @@ def test_masked_map_stats_multi_bit_identical(rng):
     wt, ws = masked_map_stats(probs[0], 0.9, value_bound=1.0)
     np.testing.assert_array_equal(np.asarray(wt), np.asarray(gt))
     with pytest.raises(ValueError):
-        masked_map_stats_multi(signed_maps, 0.9, signed=True, sample=4)
+        # probability-only shortcuts stay rejected for signed maps
+        masked_map_stats_multi(signed_maps, 0.9, signed=True,
+                               value_bound=1.0)
     with pytest.raises(ValueError):
         masked_map_stats_multi(probs, 0.9, exact_discard=True, sample=4)

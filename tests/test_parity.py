@@ -21,7 +21,9 @@ import jax.numpy as jnp
 import torch
 import pytest
 
-from protopformer_tpu.core.config import BackboneConfig, PPNetConfig
+from protopformer_tpu.core.config import (
+    BackboneConfig, PPNetConfig, backbone_preset,
+)
 from protopformer_tpu.checkpoint import (
     convert_deit_state_dict,
     convert_ppnet_state_dict,
@@ -303,6 +305,68 @@ def test_deit_tiny_bf16_speed_mode_selection_contract(
         assert all(r >= min_rank for r in dropped_ranks), (
             f"sample {b}: bf16 dropped a confident token "
             f"(fp32 ranks {dropped_ranks})"
+        )
+
+
+@pytest.mark.parametrize("sample,min_overlap,min_rank", [
+    # measured on this fixture: sample=1 -> 79-80/81, drops at fp32 rank
+    # >= 79; sample=8 -> 79/81, drops at rank >= 67 — the sampled signed
+    # quantile estimate is contract-equal to the unsampled bisection
+    (1, 76, 60),
+    (8, 76, 60),
+])
+def test_cait_speed_mode_sampled_selection_contract(
+    sample, min_overlap, min_rank
+):
+    """Round-5 selection contract for CaiT speed mode with SAMPLED signed
+    counts (rollout_discard_sample composed with signed=True — the
+    sampled quantile estimate is distribution-agnostic, so CaiT's
+    mixed-sign talking-heads maps qualify; ops/rollout.py). Production
+    cait_xxs24_224 geometry, seeded init: the bf16 speed path's top-81
+    CA-prune selection vs the fp32 exact-signed reference ordering must
+    keep >= min_overlap of 81 and only ever drop borderline-tail tokens
+    (fp32 rank >= min_rank)."""
+    from protopformer_tpu.models import CaiTBackbone
+
+    rng = np.random.default_rng(17)
+    raw = rng.normal(size=(2, 3, 224, 224)).astype(np.float32)
+    x = jnp.asarray(raw.transpose(0, 2, 3, 1))
+    base = backbone_preset("cait_xxs24_224", drop_path_rate=0.0)
+    params = CaiTBackbone(base).init(
+        jax.random.key(2), jnp.zeros((1, 224, 224, 3))
+    )["params"]
+
+    def run(cfg, dtype):
+        m = CaiTBackbone(cfg, compute_dtype=dtype)
+        _, attn = m.apply(
+            {"params": params}, x,
+            method=lambda mm, xx: mm.masked_forward(
+                *mm.embed_all(xx), [(1, 81)]
+            ),
+        )
+        return np.asarray(attn, np.float32)
+
+    ref = run(base, jnp.float32)
+    speed = run(
+        backbone_preset(
+            "cait_xxs24_224", drop_path_rate=0.0,
+            rollout_exact_discard=False, rollout_discard_sample=sample,
+        ),
+        jnp.bfloat16,
+    )
+    order = np.argsort(-ref, axis=-1)
+    sel = np.argsort(-speed, axis=-1)[:, :81]
+    for b in range(raw.shape[0]):
+        want, got = set(order[b, :81]), set(sel[b])
+        overlap = len(want & got)
+        assert overlap >= min_overlap, (
+            f"sample {b}: only {overlap}/81 overlap"
+        )
+        rank_of = {t: r for r, t in enumerate(order[b])}
+        dropped = sorted(rank_of[t] for t in want - got)
+        assert all(r >= min_rank for r in dropped), (
+            f"sample {b}: sampled-signed drop of a confident token "
+            f"(fp32 ranks {dropped})"
         )
 
 
