@@ -90,22 +90,31 @@ def _measure_mode(exact: bool, batch_size: int = 160, reps: int = 3,
     # compiler-chosen input layouts (the ServingEngine recipe): the params
     # and the input chunk are STAGED in the layouts the program wants, so
     # the in-program u8 relayout copy and the frozen-head layout traffic
-    # disappear (H2D transfers write tiled layouts for free)
+    # disappear (H2D transfers write tiled layouts for free). Layouts are
+    # read from the EXECUTABLE (utils/layouts.py — compiled.input_formats
+    # can lie, docs/DESIGN.md round-5) and the warm dispatch runs INSIDE
+    # the guard so any residual mismatch falls back to default layouts.
+    host_params = jax.tree_util.tree_map(np.asarray, params)
+    host_x = np.asarray(x)
     try:
         from jax.experimental.layout import Format, Layout
 
+        from protopformer_tpu.utils.layouts import true_input_formats
+
         fwd = jax.jit(forward, in_shardings=Format(Layout.AUTO))
         compiled = fwd.lower(jnp.float32(0), params, x).compile()
-        _, params_f, x_f = compiled.input_formats[0]
+        _, params_f, x_f = true_input_formats(compiled)
         params = jax.tree_util.tree_map(
-            lambda a, f: jax.device_put(np.asarray(a), f), params, params_f
+            lambda a, f: jax.device_put(a, f), host_params, params_f
         )
-        x = jax.device_put(np.asarray(x), x_f)
+        x = jax.device_put(host_x, x_f)
         fwd = compiled
+        np.asarray(fwd(jnp.float32(0), params, x))  # compile + warm
     except Exception:
         fwd = jax.jit(forward)
-
-    np.asarray(fwd(jnp.float32(0), params, x))  # compile + warm
+        params = jax.tree_util.tree_map(jnp.asarray, host_params)
+        x = jnp.asarray(host_x)
+        np.asarray(fwd(jnp.float32(0), params, x))  # compile + warm
     dts = []
     for _ in range(reps):
         acc = jnp.float32(0)

@@ -170,18 +170,21 @@ class ServingEngine:
             compiled = jitted.lower(
                 self._params, dummy, jnp.float32(0)
             ).compile()
-            params_f, chunk_f, _ = compiled.input_formats[0]
+            from protopformer_tpu.utils.layouts import true_input_formats
+
+            # layouts read from the EXECUTABLE — compiled.input_formats
+            # can LIE about the required layouts, and lie-stamped arrays
+            # are silently RESHARDED on every dispatch (a served request
+            # measured ~30x slower: each chunk re-crossed the tunnel) —
+            # utils/layouts.py; docs/DESIGN.md round-5
+            params_f, chunk_f, _ = true_input_formats(compiled)
             staged = jax.tree.map(
                 lambda a, f: jax.device_put(np.asarray(a), f),
                 self._params, params_f,
             )
-            # validate by EXECUTION before committing: after other
-            # AUTO-layout programs have compiled in this process,
-            # ``input_formats`` can disagree with the executable's true
-            # required layouts and the mismatch only surfaces at dispatch
-            # ("Computation was compiled for input layouts that disagree
-            # ..." — docs/DESIGN.md round-5). The pristine ``self._params``
-            # stay untouched until the probe chunk has run.
+            # ... and validate by EXECUTION before committing: the
+            # pristine ``self._params`` stay untouched until a probe
+            # chunk has actually dispatched
             probe = jax.device_put(
                 np.zeros(
                     (self.batch_size, self._img_size, self._img_size, 3),
@@ -216,12 +219,18 @@ class ServingEngine:
                     ),
                 ]
             )
-        dst = (
-            self._chunk_format
-            if self._chunk_format is not None
-            else self._chunk_sharding
-        )
-        return jax.device_put(chunk, dst), real
+        return self._to_device(chunk), real
+
+    def _to_device(self, chunk):
+        """H2D-stage one chunk in the layout the compiled program
+        requires (the H2D transfer writes the tiled layout for free; the
+        format comes from the executable's own layout list — see
+        _try_auto_layout)."""
+        if self._chunk_format is not None:
+            return jax.device_put(chunk, self._chunk_format)
+        if self._chunk_sharding is not None:
+            return jax.device_put(chunk, self._chunk_sharding)
+        return jnp.asarray(chunk)
 
     def _concat_unpad(self, pieces, n):
         """On-device concat + single tail-padding slice for one output
@@ -239,11 +248,7 @@ class ServingEngine:
         dummy = np.zeros(
             (self.batch_size, self._img_size, self._img_size, 3), np.uint8
         )
-        chunk = (
-            jax.device_put(dummy, self._chunk_format)
-            if self._chunk_format is not None
-            else jnp.asarray(dummy)
-        )
+        chunk = self._to_device(dummy)
         np.asarray(
             self._forward(self._params, chunk, jnp.float32(0))
             ["logits"][0, 0]
@@ -274,12 +279,7 @@ class ServingEngine:
                 0, 256,
                 (self.batch_size, self._img_size, self._img_size, 3),
             )).astype(np.uint8)
-            dst = (
-                self._chunk_format
-                if self._chunk_format is not None
-                else self._chunk_sharding
-            )
-            chunks.append(jax.device_put(c, dst))
+            chunks.append(self._to_device(c))
         self.warmup()
 
         def run_once():

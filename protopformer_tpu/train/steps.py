@@ -209,17 +209,18 @@ def compile_train_step_auto(
         .lower(state_abs, example_batch, rng, gate)
         .compile()
     )
-    state_f, batch_f = compiled.input_formats[0][:2]
-    # validate by EXECUTION before staging the real state: input_formats
-    # can DISAGREE with the executable's true required layouts (observed
-    # on the axon plugin: "Computation was compiled for input layouts
-    # that disagree with the layouts of arguments passed to it" — docs/
-    # DESIGN.md round-5), and the mismatch only surfaces at dispatch. The
-    # probe state is an on-device ZEROS tree built directly in the AUTO
-    # formats — not a device_put copy of ``state``, because device_put is
-    # a no-op alias when the layout already matches and the probe's
-    # donation would then delete the pristine state's buffers. A probe
-    # failure propagates to the caller's default-layout fallback.
+    from protopformer_tpu.utils.layouts import true_input_formats
+
+    # layouts read from the EXECUTABLE, not compiled.input_formats —
+    # input_formats can lie (utils/layouts.py; docs/DESIGN.md round-5)
+    state_f, batch_f = true_input_formats(compiled)[:2]
+    # ... and still validate by EXECUTION before staging the real state:
+    # the mismatch only surfaces at dispatch. The probe state is an
+    # on-device ZEROS tree built directly in the AUTO formats — not a
+    # device_put copy of ``state``, because device_put is a no-op alias
+    # when the layout already matches and the probe's donation would
+    # then delete the pristine state's buffers. A probe failure
+    # propagates to the caller's default-layout fallback.
     probe_state = jax.jit(
         lambda: jax.tree_util.tree_map(
             lambda s: jnp.zeros(s.shape, s.dtype), state_abs
@@ -233,9 +234,14 @@ def compile_train_step_auto(
         probe_state, probe_batch, rng, jnp.float32(0.0)
     )
     np.asarray(probe_metrics["loss"])
-    staged = jax.tree_util.tree_map(
-        lambda a, f: jax.device_put(a, f), state, state_f
-    )
+    # stage the real state the same way the probe state was built: an
+    # identity program with the AUTO formats as OUTPUT shardings. A
+    # ``jax.device_put(a, format)`` would stamp the array with the
+    # (possibly lying) input_formats metadata and dispatch then rejects
+    # it against the executable's true layouts (observed on the training
+    # CLI: the probe passed but device_put-staged params failed); arrays
+    # MATERIALIZED by an XLA program carry truthful layouts.
+    staged = jax.jit(lambda s: s, out_shardings=state_f)(state)
 
     def step(state, batch, rng, ppc_gate):
         batch = jax.tree_util.tree_map(

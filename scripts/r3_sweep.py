@@ -69,9 +69,14 @@ def build(exact, batch, sample, arch="deit_tiny_patch16_224",
 
     from jax.experimental.layout import Format, Layout
 
+    from protopformer_tpu.utils.layouts import true_input_formats
+
     fwd = jax.jit(forward, in_shardings=Format(Layout.AUTO))
     compiled = fwd.lower(jnp.float32(0), params, x).compile()
-    _, params_f, x_f = compiled.input_formats[0]
+    # layouts from the EXECUTABLE — input_formats can lie and lie-stamped
+    # arrays are silently resharded per dispatch, poisoning the timing
+    # (utils/layouts.py; docs/DESIGN.md round-5)
+    _, params_f, x_f = true_input_formats(compiled)
     params = jax.tree_util.tree_map(
         lambda a, f: jax.device_put(np.asarray(a), f), params, params_f
     )

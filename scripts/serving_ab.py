@@ -66,14 +66,13 @@ def main():
     B = engine.batch_size
     n_chunks = (n_images + B - 1) // B
 
-    # one shared set of device-resident chunks, staged in the engine's
-    # compiled input layout — all arms consume THESE buffers
+    # one shared set of device-resident chunks, staged through the
+    # engine's own path (identity-relayout on the AUTO path — truthful
+    # layouts; docs/DESIGN.md round-5) — all arms consume THESE buffers
     host_rng = np.random.default_rng(0)
-    dst = engine._chunk_format
     chunks = [
-        jax.device_put(
-            host_rng.integers(0, 256, (B, 224, 224, 3)).astype(np.uint8),
-            dst,
+        engine._to_device(
+            host_rng.integers(0, 256, (B, 224, 224, 3)).astype(np.uint8)
         )
         for _ in range(n_chunks)
     ]
